@@ -1,0 +1,163 @@
+"""DSP parity tests.
+
+Golden references are computed with torch (CPU) reproducing the reference
+semantics (torch.stft is an independent C++ implementation, so this genuinely
+validates our framing/FFT math):
+  - VITS spectrogram: ttts/utils/data_utils.py:52-87
+  - acoustic mel STFT: torchaudio MelSpectrogram center=True power=1
+    (ttts/vocoder/feature_extractors.py:28-49)
+  - ISTFT: ttts/vocoder/spectral_ops.py:7-76 (round-trip property here)
+Mel filterbanks and resampling are validated by analytic properties since
+librosa/torchaudio are unavailable in this image.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ttts_tpu.ops import (
+    acoustic_mel_spectrogram,
+    istft,
+    mel_filterbank,
+    resample,
+    stft,
+    vits_spectrogram,
+)
+from ttts_tpu.ops.mel import _hz_to_mel, _mel_to_hz
+
+
+def _torch_vits_spec(y_np, n_fft, hop, win):
+    """torch golden for reference spectrogram_torch (data_utils.py:52-87)."""
+    y = torch.from_numpy(y_np)
+    pad = int((n_fft - hop) / 2)
+    y = torch.nn.functional.pad(y.unsqueeze(1), (pad, pad), mode="reflect").squeeze(1)
+    spec = torch.stft(
+        y,
+        n_fft,
+        hop_length=hop,
+        win_length=win,
+        window=torch.hann_window(win),
+        center=False,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    spec = torch.view_as_real(spec)
+    return torch.sqrt(spec.pow(2).sum(-1) + 1e-6).numpy()
+
+
+class TestSTFT:
+    def test_stft_matches_torch_center_false(self, rng):
+        y = rng.standard_normal((2, 8192)).astype(np.float32)
+        n_fft, hop = 1024, 256
+        ours = stft(jnp.asarray(y), n_fft, hop, n_fft, center=False)
+        theirs = torch.stft(
+            torch.from_numpy(y),
+            n_fft,
+            hop_length=hop,
+            window=torch.hann_window(n_fft),
+            center=False,
+            onesided=True,
+            return_complex=True,
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-3, rtol=1e-4)
+
+    def test_stft_matches_torch_center_true(self, rng):
+        y = rng.standard_normal((1, 4096)).astype(np.float32)
+        n_fft, hop = 512, 128
+        ours = stft(jnp.asarray(y), n_fft, hop, n_fft, center=True)
+        theirs = torch.stft(
+            torch.from_numpy(y),
+            n_fft,
+            hop_length=hop,
+            window=torch.hann_window(n_fft),
+            center=True,
+            pad_mode="reflect",
+            onesided=True,
+            return_complex=True,
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-3, rtol=1e-4)
+
+    def test_vits_spectrogram_matches_reference_math(self, rng):
+        # codec config: 32 kHz, n_fft 2048, hop 640 (ttts/vqvae/config.json)
+        y = rng.standard_normal((2, 32000)).astype(np.float32) * 0.5
+        ours = np.asarray(vits_spectrogram(jnp.asarray(y), 2048, 640, 2048))
+        golden = _torch_vits_spec(y, 2048, 640, 2048)
+        assert ours.shape == golden.shape
+        np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
+
+    def test_istft_roundtrip_same_padding(self, rng):
+        # Vocos config: n_fft 1024, hop 256, padding "same"
+        n_fft, hop = 1024, 256
+        y = rng.standard_normal((2, 256 * 40)).astype(np.float32)
+        pad = (n_fft - hop) // 2
+        ypad = np.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        spec = stft(jnp.asarray(ypad), n_fft, hop, n_fft, center=False)
+        rec = np.asarray(istft(spec, n_fft, hop, n_fft, padding="same"))
+        # interior must reconstruct exactly (NOLA); edges are trimmed
+        assert rec.shape == y.shape
+        np.testing.assert_allclose(rec[:, hop:-hop], y[:, hop:-hop], atol=1e-4)
+
+
+class TestMel:
+    def test_htk_scale_known_points(self):
+        # htk: mel(700 Hz) = 2595*log10(2)
+        assert np.isclose(_hz_to_mel(700.0, "htk"), 2595.0 * np.log10(2.0))
+        assert np.isclose(_mel_to_hz(_hz_to_mel(1234.5, "htk"), "htk"), 1234.5)
+
+    def test_slaney_scale_breakpoint(self):
+        # slaney is linear f/(200/3) below 1 kHz, log above; continuous at 1 kHz
+        assert np.isclose(_hz_to_mel(999.999, "slaney"), 15.0, atol=1e-3)
+        assert np.isclose(_mel_to_hz(_hz_to_mel(5000.0, "slaney"), "slaney"), 5000.0)
+        assert np.isclose(_hz_to_mel(500.0, "slaney"), 500.0 / (200.0 / 3))
+
+    def test_filterbank_shape_and_triangles(self):
+        fb = mel_filterbank(24000, 1024, 100, scale="htk", norm=None)
+        assert fb.shape == (100, 513)
+        # unnormalized triangles peak at ~1
+        assert fb.max() <= 1.0 + 1e-6
+        assert (fb >= 0).all()
+        # every filter has support
+        assert (fb.sum(axis=1) > 0).all()
+
+    def test_filterbank_slaney_norm(self):
+        fb = mel_filterbank(32000, 2048, 128, scale="slaney", norm="slaney")
+        # slaney norm: each triangle integrates (in Hz) to ~2/(width)*area = 1
+        freqs = np.linspace(0, 16000, 1025)
+        df = freqs[1] - freqs[0]
+        areas = fb.sum(axis=1) * df
+        np.testing.assert_allclose(areas, 1.0, atol=0.1)
+
+    def test_acoustic_mel_shape_and_finiteness(self, rng):
+        audio = rng.standard_normal((2, 24000)).astype(np.float32) * 0.3
+        mel = np.asarray(acoustic_mel_spectrogram(jnp.asarray(audio)))
+        # center=True → frames = 1 + T//hop
+        assert mel.shape == (2, 100, 1 + 24000 // 256)
+        assert np.isfinite(mel).all()
+        # silence maps to log(clip) floor = log(1e-7)
+        sil = np.asarray(acoustic_mel_spectrogram(jnp.zeros((1, 24000))))
+        np.testing.assert_allclose(sil, np.log(1e-7), atol=1e-5)
+
+
+class TestResample:
+    @pytest.mark.parametrize("sr_in,sr_out", [(32000, 24000), (44100, 32000), (16000, 24000)])
+    def test_sine_preserved(self, sr_in, sr_out):
+        t = np.arange(sr_in) / sr_in  # 1 second
+        f0 = 440.0
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(resample(jnp.asarray(x[None]), sr_in, sr_out))[0]
+        assert abs(y.shape[0] - sr_out) <= 1
+        # compare against ideal sine, ignoring filter edges
+        ty = np.arange(y.shape[0]) / sr_out
+        ref = np.sin(2 * np.pi * f0 * ty)
+        m = slice(200, -200)
+        err = np.abs(y[m] - ref[m]).max()
+        assert err < 5e-3
+
+    def test_identity(self, rng):
+        x = rng.standard_normal((3, 1000)).astype(np.float32)
+        y = resample(jnp.asarray(x), 24000, 24000)
+        np.testing.assert_array_equal(np.asarray(y), x)

@@ -1,0 +1,119 @@
+"""STFT / ISTFT primitives in pure JAX.
+
+TPU notes: framing is expressed as a gather with static frame count so XLA can
+fuse it; the FFT runs as a batched rFFT over (frames, n_fft), which XLA lowers
+to its native FFT. All shapes are static.
+
+Semantics match the reference conventions:
+  - ``stft``: torch.stft with center=False (caller pads) or center=True,
+    onesided, not normalized (reference ttts/utils/data_utils.py:52-87).
+  - ``istft``: the Vocos custom overlap-add ISTFT with "same" padding
+    (reference ttts/vocoder/spectral_ops.py:7-76).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
+    """Periodic Hann window — matches torch.hann_window(periodic=True)."""
+    n = np.arange(win_length)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    return jnp.asarray(w, dtype=dtype)
+
+
+def frame(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
+    """Slice ``x`` (..., T) into overlapping frames (..., n_frames, frame_length).
+
+    n_frames = 1 + (T - frame_length) // hop_length (torch center=False count).
+    """
+    t = x.shape[-1]
+    n_frames = 1 + (t - frame_length) // hop_length
+    idx = (
+        np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
+    )  # static gather indices
+    return x[..., idx]
+
+
+def _reflect_pad_last(x: jax.Array, pad: int) -> jax.Array:
+    if pad == 0:
+        return x
+    cfg = [(0, 0, 0)] * (x.ndim - 1) + [(pad, pad, 0)]
+    # jnp.pad reflect matches torch reflect padding
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def stft(
+    y: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int | None = None,
+    window: jax.Array | None = None,
+    center: bool = False,
+    pad_mode: str = "reflect",
+) -> jax.Array:
+    """Complex STFT of ``y`` (..., T) → (..., n_fft//2+1, n_frames).
+
+    Matches torch.stft(onesided=True, normalized=False, return_complex=True).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length, dtype=y.dtype)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        assert pad_mode == "reflect"
+        y = _reflect_pad_last(y, n_fft // 2)
+    frames = frame(y, n_fft, hop_length)  # (..., n_frames, n_fft)
+    frames = frames * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (..., n_frames, n_fft//2+1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "padding"))
+def istft(
+    spec: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    padding: str = "same",
+) -> jax.Array:
+    """Inverse STFT with overlap-add.
+
+    ``spec``: complex (B, n_fft//2+1, T). Returns (B, L).
+    padding="same": trims (win - hop)//2 from both ends (Vocos convention,
+    reference ttts/vocoder/spectral_ops.py:40-76); "center" trims n_fft//2.
+    """
+    window = hann_window(win_length, dtype=jnp.float32)
+    b, _, t = spec.shape
+    ifft = jnp.fft.irfft(spec, n=n_fft, axis=1)  # (B, n_fft, T), norm="backward"
+    ifft = ifft * window[None, :, None]
+
+    output_size = (t - 1) * hop_length + win_length
+    # Overlap-add via a scatter-add: each frame lands at t*hop.
+    idx = (
+        np.arange(t)[:, None] * hop_length + np.arange(win_length)[None, :]
+    ).reshape(-1)
+    frames = jnp.swapaxes(ifft, 1, 2).reshape(b, -1)  # (B, T*win)
+    y = jnp.zeros((b, output_size), dtype=ifft.dtype).at[:, idx].add(frames)
+
+    win_sq = window**2
+    env = jnp.zeros((output_size,), dtype=jnp.float32).at[idx].add(
+        jnp.tile(win_sq, (t,))
+    )
+
+    if padding == "same":
+        pad = (win_length - hop_length) // 2
+    elif padding == "center":
+        pad = n_fft // 2
+    else:
+        raise ValueError("padding must be 'same' or 'center'")
+    y = y[:, pad : output_size - pad]
+    env = env[pad : output_size - pad]
+    return y / jnp.maximum(env, 1e-11)
