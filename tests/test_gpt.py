@@ -1,0 +1,155 @@
+"""UnifiedVoice tests (contract: ttts/gpt/model.py:292-572)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttts_tpu.config import GPTConfig
+from ttts_tpu.models.gpt import UnifiedVoice, inference_speech
+from ttts_tpu.models.sampling import (
+    SamplingParams,
+    apply_repetition_penalty,
+    apply_top_p,
+    apply_typical,
+)
+
+TINY = GPTConfig(
+    model_dim=64,
+    layers=2,
+    heads=4,
+    max_text_tokens=20,
+    max_mel_tokens=40,
+    number_text_tokens=256,
+    number_mel_codes=66,
+    start_mel_token=64,
+    stop_mel_token=65,
+    start_text_token=255,
+)
+
+B, LT, LM = 2, 8, 12
+
+
+@pytest.fixture(scope="module")
+def gpt_and_params():
+    rng = np.random.default_rng(7)
+    model = UnifiedVoice(TINY, mel_length_compression=1024)
+    text = jnp.asarray(rng.integers(1, 200, size=(B, LT)))
+    text_lengths = jnp.asarray([LT, LT - 3])
+    codes = jnp.asarray(rng.integers(0, 64, size=(B, LM)))
+    wav_lengths = jnp.asarray([LM * 1024, (LM - 4) * 1024])
+    params = model.init(
+        jax.random.key(0), text, text_lengths, codes, wav_lengths
+    )
+    return model, params, (text, text_lengths, codes, wav_lengths)
+
+
+class TestTraining:
+    def test_forward_losses(self, gpt_and_params):
+        model, params, (text, tl, codes, wl) = gpt_and_params
+        lt, lm, logits = model.apply(params, text, tl, codes, wl)
+        assert np.isfinite(float(lt)) and np.isfinite(float(lm))
+        assert logits.shape == (B, LM + 2, TINY.number_mel_codes)
+
+    def test_return_latent_shape(self, gpt_and_params):
+        model, params, (text, tl, codes, wl) = gpt_and_params
+        latent = model.apply(params, text, tl, codes, wl, return_latent=True)
+        # latent covers the mel segment minus the 2 trailing tokens (model.py:500)
+        assert latent.shape == (B, LM, TINY.model_dim)
+
+    def test_mel_padding_rewrite(self, gpt_and_params):
+        model, params, _ = gpt_and_params
+        codes = jnp.zeros((1, 10), jnp.int32) + 7
+        wav_lengths = jnp.asarray([4 * 1024])
+        padded = model.apply(
+            params, codes, wav_lengths, method=model._set_mel_padding
+        )
+        got = np.asarray(padded)[0]
+        # positions >= mel_len+1 = 5 become stop tokens
+        np.testing.assert_array_equal(got[:5], 7)
+        np.testing.assert_array_equal(got[5:], TINY.stop_mel_token)
+
+    def test_grads_finite(self, gpt_and_params):
+        model, params, (text, tl, codes, wl) = gpt_and_params
+
+        def loss_fn(p):
+            lt, lm, _ = model.apply(p, text, tl, codes, wl)
+            return 0.01 * lt + lm
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestIncrementalDecode:
+    def test_kv_cache_matches_prefill(self, gpt_and_params):
+        """Critical: chained decode_one must reproduce full-prefix logits."""
+        model, params, (text, _, codes, _) = gpt_and_params
+        full_prompt = codes[:, :6]
+        max_len = text.shape[1] + 2 + 6 + 1 + 8
+
+        # ground truth: prefill over the full prompt
+        _, logits_full, _, _ = model.apply(
+            params, text, full_prompt, max_len, method=model.prefill
+        )
+
+        # incremental: prefill over 4 codes, then feed codes 4 and 5
+        cache, logits, prefix_len, mel_off = model.apply(
+            params, text, codes[:, :4], max_len, method=model.prefill
+        )
+        for j in range(2):
+            logits, cache = model.apply(
+                params,
+                codes[:, 4 + j],
+                cache,
+                prefix_len + j,
+                mel_off + j,
+                max_len,
+                method=model.decode_one,
+            )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_full), atol=2e-4, rtol=1e-3
+        )
+
+    def test_inference_speech_runs_and_stops(self, gpt_and_params):
+        model, params, (text, _, codes, _) = gpt_and_params
+        out = jax.jit(
+            lambda p, t, c, k: inference_speech(
+                model, p, t, c, k, max_generate_length=10,
+                sampling=SamplingParams(temperature=1.0, top_p=0.95),
+            )
+        )(params, text, codes[:, :4], jax.random.key(3))
+        out = np.asarray(out)
+        assert out.shape == (B, 10)
+        assert (out >= 0).all() and (out < TINY.number_mel_codes).all()
+        # once stopped, stays stopped
+        for b in range(B):
+            stops = np.where(out[b] == TINY.stop_mel_token)[0]
+            if len(stops):
+                assert (out[b, stops[0]:] == TINY.stop_mel_token).all()
+
+
+class TestSampling:
+    def test_top_p_keeps_nucleus(self):
+        logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+        out = np.asarray(apply_top_p(logits, 0.7))
+        assert np.isfinite(out[0, 0]) and np.isfinite(out[0, 1])
+        assert out[0, 2] == -np.inf and out[0, 3] == -np.inf
+
+    def test_top_p_always_keeps_best(self):
+        logits = jnp.asarray([[10.0, 0.0, -5.0]])
+        out = np.asarray(apply_top_p(logits, 0.01))
+        assert np.isfinite(out[0, 0])
+        assert out[0, 1] == -np.inf
+
+    def test_repetition_penalty(self):
+        logits = jnp.asarray([[2.0, -2.0, 1.0]])
+        counts = jnp.asarray([[1, 1, 0]])
+        out = np.asarray(apply_repetition_penalty(logits, counts, 2.0))
+        np.testing.assert_allclose(out[0], [1.0, -4.0, 1.0])
+
+    def test_typical_keeps_mass(self):
+        logits = jnp.log(jnp.asarray([[0.25, 0.25, 0.25, 0.25]]))
+        out = np.asarray(apply_typical(logits, 0.9))
+        # uniform distribution: all tokens equally typical; ≥1 kept
+        assert np.isfinite(out).sum() >= 1

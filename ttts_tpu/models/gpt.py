@@ -1,0 +1,340 @@
+"""UnifiedVoice — VALL-E/Tortoise-style AR model over text + mel-VQ codes.
+
+TPU-native rebuild of ttts/gpt/model.py:292-572. The reference wraps HF GPT-2
+(build_hf_gpt_transformer, model.py:245-265) with its positional/token
+embeddings deleted and drives inference through HF `generate` one token at a
+time (GPT2InferenceModel, model.py:34-185). Here the decoder is a plain
+pre-LN GPT-2 stack in flax and inference is a single jitted `lax.scan` with a
+static KV cache — no Python in the hot loop.
+
+Contract kept (for weight porting / output parity):
+  - dual learned position tables: text (max_text+2) and mel (max_mel+2)
+    (model.py:333-339), normal(0.02) init;
+  - token layout: [start_text; text; stop_text] ++ [start_mel; codes; stop_mel]
+    (build_aligned_inputs_and_targets, model.py:397-401);
+  - mel padding rewritten to stop tokens past wav_len//mel_length_compression+1
+    (set_mel_padding, model.py:402-414);
+  - cross-entropy over BOTH streams incl. repeated stop tokens (model.py:508);
+  - return_latent: final_norm hidden states of the mel segment minus the two
+    trailing tokens (model.py:498-500) — the diffusion conditioning signal;
+  - inference prompt: text embedding ++ [start_mel; prompt codes]
+    (inference_speech, model.py:533-562); sampling knobs top_p / temperature /
+    repetition_penalty / typical_sampling have HF semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ttts_tpu.config import GPTConfig
+from ttts_tpu.models.sampling import SamplingParams, sample_logits
+
+
+def gelu_new(x):
+    """GPT-2 tanh-approximated GELU."""
+    return 0.5 * x * (1.0 + jnp.tanh(math.sqrt(2.0 / math.pi) * (x + 0.044715 * x**3)))
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (layers, B, max_len, heads, head_dim)
+    v: jax.Array
+
+
+class GPT2Block(nn.Module):
+    """Pre-LN GPT-2 block (HF GPT2Block semantics: ln_1→attn→res, ln_2→mlp→res)."""
+
+    dim: int
+    heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        attn_mask=None,
+        cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+        cache_index=None,
+        deterministic: bool = True,
+    ):
+        d, h = self.dim, self.heads
+        dk = d // h
+        dense02 = partial(nn.Dense, kernel_init=nn.initializers.normal(0.02))
+        # scaled residual-projection init (GPT-2 scheme)
+        proj_init = nn.initializers.normal(0.02)
+
+        hdn = nn.LayerNorm(epsilon=1e-5)(x)
+        qkv = dense02(3 * d)(hdn)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, t, _ = q.shape
+        q = q.reshape(b, t, h, dk)
+        k = k.reshape(b, t, h, dk)
+        v = v.reshape(b, t, h, dk)
+
+        if cache is not None:
+            ck, cv = cache  # (B, max_len, h, dk)
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k, cache_index, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v, cache_index, axis=1)
+            k, v = ck, cv
+            new_cache = (ck, cv)
+        else:
+            new_cache = None
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(dk)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask, scores, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        if self.dropout > 0:
+            p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
+        attn = nn.Dense(d, kernel_init=proj_init)(attn)
+        if self.dropout > 0:
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = x + attn
+
+        hdn = nn.LayerNorm(epsilon=1e-5)(x)
+        hdn = dense02(4 * d)(hdn)
+        hdn = gelu_new(hdn)
+        hdn = nn.Dense(d, kernel_init=proj_init)(hdn)
+        if self.dropout > 0:
+            hdn = nn.Dropout(self.dropout)(hdn, deterministic=deterministic)
+        return x + hdn, new_cache
+
+
+class GPT2Stack(nn.Module):
+    layers: int
+    dim: int
+    heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
+                 cache_index=None, deterministic: bool = True):
+        x = emb
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        new_k, new_v = [], []
+        for i in range(self.layers):
+            layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
+            x, nc = GPT2Block(self.dim, self.heads, self.dropout)(
+                x, attn_mask, layer_cache, cache_index, deterministic
+            )
+            if nc is not None:
+                new_k.append(nc[0])
+                new_v.append(nc[1])
+        new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v)) if new_k else None
+        return x, new_cache
+
+
+def _causal_mask(t: int) -> jax.Array:
+    return jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+
+class UnifiedVoice(nn.Module):
+    cfg: GPTConfig
+    mel_length_compression: int = 1024
+
+    def setup(self):
+        c = self.cfg
+        self.text_embedding = nn.Embed(
+            c.number_text_tokens + 1, c.model_dim,
+            embedding_init=nn.initializers.normal(0.02),
+        )
+        self.mel_embedding = nn.Embed(
+            c.number_mel_codes, c.model_dim,
+            embedding_init=nn.initializers.normal(0.02),
+        )
+        self.text_pos_embedding = self.param(
+            "text_pos_embedding", nn.initializers.normal(0.02),
+            (c.max_text_tokens + 2, c.model_dim),
+        )
+        self.mel_pos_embedding = self.param(
+            "mel_pos_embedding", nn.initializers.normal(0.02),
+            (c.max_mel_tokens + 2, c.model_dim),
+        )
+        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads)
+        self.final_norm = nn.LayerNorm(epsilon=1e-5)
+        self.text_head = nn.Dense(c.number_text_tokens + 1)
+        self.mel_head = nn.Dense(c.number_mel_codes)
+
+    # ------------------------------------------------------------------ utils
+
+    def _set_mel_padding(self, mel_codes, wav_lengths):
+        """Replace padding positions with stop tokens (model.py:402-414)."""
+        mel_lengths = wav_lengths // self.mel_length_compression
+        pos = jnp.arange(mel_codes.shape[1])[None, :]
+        return jnp.where(
+            pos >= (mel_lengths + 1)[:, None], self.cfg.stop_mel_token, mel_codes
+        )
+
+    @staticmethod
+    def _aligned(x, start, stop):
+        """inp=[start; x], tar=[x; stop] (model.py:397-401)."""
+        inp = jnp.pad(x, ((0, 0), (1, 0)), constant_values=start)
+        tar = jnp.pad(x, ((0, 0), (0, 1)), constant_values=stop)
+        return inp, tar
+
+    def _embed_text(self, text_inputs):
+        t = text_inputs.shape[1]
+        return self.text_embedding(text_inputs) + self.text_pos_embedding[:t][None]
+
+    def _embed_mel(self, mel_codes):
+        t = mel_codes.shape[1]
+        return self.mel_embedding(mel_codes) + self.mel_pos_embedding[:t][None]
+
+    # --------------------------------------------------------------- training
+
+    def __call__(self, text_inputs, text_lengths, mel_codes, wav_lengths,
+                 return_latent: bool = False, deterministic: bool = True):
+        """Training forward (model.py:453-511). Static shapes: callers pad to
+        bucket sizes on host; `clip_inputs` is a host-side concern.
+
+        Returns (loss_text, loss_mel, mel_logits) or the mel latent when
+        return_latent (the diffusion conditioning signal)."""
+        c = self.cfg
+        mel_codes = self._set_mel_padding(mel_codes, wav_lengths)
+        text_inputs = jnp.pad(
+            text_inputs, ((0, 0), (0, 1)), constant_values=c.stop_text_token
+        )
+        # the reference also stop-rewrites text padding implicitly: dataset
+        # pads text with 0 == stop_text_token, so padded positions are stops.
+        mel_codes = jnp.pad(
+            mel_codes, ((0, 0), (0, 1)), constant_values=c.stop_mel_token
+        )
+        text_inputs, text_targets = self._aligned(
+            text_inputs, c.start_text_token, c.stop_text_token
+        )
+        mel_codes_in, mel_targets = self._aligned(
+            mel_codes, c.start_mel_token, c.stop_mel_token
+        )
+        text_emb = self._embed_text(text_inputs)
+        mel_emb = self._embed_mel(mel_codes_in)
+
+        emb = jnp.concatenate([text_emb, mel_emb], axis=1)
+        h, _ = self.gpt(emb, _causal_mask(emb.shape[1]), deterministic=deterministic)
+        h = self.final_norm(h)
+        t_text = text_emb.shape[1]
+        h_text, h_mel = h[:, :t_text], h[:, t_text:]
+
+        if return_latent:
+            return h_mel[:, :-2]
+
+        text_logits = self.text_head(h_text)
+        mel_logits = self.mel_head(h_mel)
+        loss_text = _ce(text_logits, text_targets)
+        loss_mel = _ce(mel_logits, mel_targets)
+        return loss_text, loss_mel, mel_logits
+
+    # -------------------------------------------------------------- inference
+
+    def prefill(self, text_inputs, prompt_codes, max_len: int):
+        """Build the prompt, run it once, fill a KV cache of size max_len.
+
+        text_inputs: (B, Lt) int; prompt_codes: (B, Lp) int.
+        Returns (cache, last_logits, prefix_len, mel_pos_offset)."""
+        c = self.cfg
+        text_inputs = jnp.pad(
+            text_inputs, ((0, 0), (0, 1)), constant_values=c.stop_text_token
+        )
+        text_inputs, _ = self._aligned(text_inputs, c.start_text_token, c.stop_text_token)
+        text_emb = self._embed_text(text_inputs)
+        mel_in = jnp.pad(prompt_codes, ((0, 0), (1, 0)), constant_values=c.start_mel_token)
+        mel_emb = self._embed_mel(mel_in)
+        emb = jnp.concatenate([text_emb, mel_emb], axis=1)
+
+        b, p, d = emb.shape
+        h_heads = c.heads
+        dk = d // h_heads
+        cache = KVCache(
+            k=jnp.zeros((c.layers, b, max_len, h_heads, dk), emb.dtype),
+            v=jnp.zeros((c.layers, b, max_len, h_heads, dk), emb.dtype),
+        )
+        # prefix attends causally within itself; cache beyond prefix is masked
+        mask = jnp.tril(jnp.ones((p, p), bool))
+        mask = jnp.pad(mask, ((0, 0), (0, max_len - p)))[None, None]
+        h, cache = self.gpt(emb, mask, cache, 0, deterministic=True)
+        h = self.final_norm(h[:, -1:])
+        logits = self.mel_head(h)[:, 0]
+        return cache, logits, p, mel_in.shape[1]
+
+    def decode_one(self, token, cache: KVCache, position, mel_position, max_len: int):
+        """One incremental decode step at absolute `position` (mel-segment
+        position `mel_position`). Returns (logits, new_cache)."""
+        emb = self.mel_embedding(token[:, None]) + jax.lax.dynamic_slice_in_dim(
+            self.mel_pos_embedding, mel_position, 1, axis=0
+        )[None]
+        mask = (jnp.arange(max_len)[None, None, None, :] <= position)
+        h, cache = self.gpt(emb, mask, cache, position, deterministic=True)
+        h = self.final_norm(h)
+        return self.mel_head(h)[:, 0], cache
+
+
+def _ce(logits, targets):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+# ---------------------------------------------------------------------------
+# jitted generation loop (replaces HF generate: model.py:533-562)
+# ---------------------------------------------------------------------------
+
+
+def inference_speech(
+    model: UnifiedVoice,
+    params,
+    text_inputs: jax.Array,
+    prompt_codes: jax.Array,
+    key: jax.Array,
+    max_generate_length: int,
+    sampling: SamplingParams = SamplingParams(),
+):
+    """Autoregressive mel-code generation as one lax.scan.
+
+    text_inputs (B, Lt), prompt_codes (B, Lp) → codes (B, max_generate_length)
+    padded with stop_mel_token after each sequence's stop. Compiles per
+    (Lt, Lp, max_generate_length) bucket.
+    """
+    c = model.cfg
+    prefix_len = text_inputs.shape[1] + 2 + prompt_codes.shape[1] + 1
+    max_len = prefix_len + max_generate_length
+
+    cache, logits, p, mel_off = model.apply(
+        params, text_inputs, prompt_codes, max_len, method=model.prefill
+    )
+    b = text_inputs.shape[0]
+
+    # per-vocab "already generated" counts for the repetition penalty
+    counts = jnp.zeros((b, c.number_mel_codes), jnp.int32)
+    counts = counts + jax.vmap(
+        lambda pc: jnp.zeros((c.number_mel_codes,), jnp.int32).at[pc].add(1)
+    )(prompt_codes)
+
+    def step(carry, i):
+        cache, logits, counts, done, key = carry
+        key, sk = jax.random.split(key)
+        tok = sample_logits(sk, logits, counts, sampling)
+        tok = jnp.where(done, c.stop_mel_token, tok)
+        done = done | (tok == c.stop_mel_token)
+        counts = counts.at[jnp.arange(b), tok].add(1)
+        logits, cache = model.apply(
+            params,
+            tok,
+            cache,
+            prefix_len + i,
+            mel_off + i,
+            max_len,
+            method=model.decode_one,
+        )
+        return (cache, logits, counts, done, key), tok
+
+    done0 = jnp.zeros((b,), bool)
+    (_, _, _, done, _), tokens = jax.lax.scan(
+        step, (cache, logits, counts, done0, key), jnp.arange(max_generate_length)
+    )
+    return jnp.swapaxes(tokens, 0, 1)  # (B, T)
