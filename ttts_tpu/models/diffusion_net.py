@@ -1,0 +1,313 @@
+"""AA_diffusion — latent-conditioned mel diffusion network.
+
+TPU-native rebuild of ttts/diffusion/aa_model.py:182-289 (flat non-U-Net
+stack): conv input block on the noisy 100-ch mel; a latent conditioner
+(conv + 3 rel-pos AttentionBlocks, aa_model.py:215) over the GPT latent; a
+reference encoder (conv + 3 AttentionBlocks + perceiver RefEncoder pooling,
+aa_model.py:227 → style vector added to the latent embedding,
+timestep_independent aa_model.py:245-248); classifier-free dropout by swapping
+in a learned unconditioned embedding (aa_model.py:250-256); 3-layer
+conditioning-timestep integrator; concat + integrating conv; num_layers×
+DiffusionLayer (scale-shift ResBlock + rel-pos attention, aa_model.py:135) +
+3 ResBlocks; GroupNorm→SiLU→conv out to 200 ch (ε mean + learned-range var).
+
+Attention uses the T5-bucket relative position bias
+(ttts/utils/xtransformers.py RelativePositionBias:146, buckets=32, max
+distance=64) and the double-sqrt scaling of QKVAttentionLegacy
+(ttts/utils/utils.py:136-169). Layer-drop (0.1) is stochastic depth via
+masking — branchless under jit, so no DDP-style unused-param tricks needed.
+
+All tensors channels-last: x (B, T, C).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttts_tpu.config import DiffusionNetConfig
+
+TACOTRON_MEL_MAX = 5.5451774444795624753378569716654
+TACOTRON_MEL_MIN = -16.118095650958319788125940182791
+
+
+def normalize_tacotron_mel(mel):
+    """v2 scale-only normalization (aa_model.py:14-23)."""
+    return jnp.maximum(mel, -TACOTRON_MEL_MAX) * 0.18215
+
+
+def denormalize_tacotron_mel(norm_mel):
+    return norm_mel / 0.18215
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding, cos-first (aa_model.py:33-51); accepts
+    fractional timesteps (the DPM++ path passes t*1000 floats)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def _num_groups(channels: int) -> int:
+    groups = 32
+    if channels <= 16:
+        groups = 8
+    elif channels <= 64:
+        groups = 16
+    while channels % groups != 0:
+        groups //= 2
+    assert groups > 2
+    return groups
+
+
+class GroupNorm32(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=_num_groups(self.channels), epsilon=1e-5)(x)
+
+
+def _t5_bucket(rel_pos: np.ndarray, num_buckets: int = 32, max_distance: int = 64) -> np.ndarray:
+    """Symmetric T5 relative-position bucketing (xtransformers.py:156-175)."""
+    n = -rel_pos
+    num_buckets //= 2
+    ret = (n < 0).astype(np.int64) * num_buckets
+    n = np.abs(n)
+    max_exact = num_buckets // 2
+    val_if_large = max_exact + (
+        np.log(np.maximum(n, 1) / max_exact) / math.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(np.int64)
+    val_if_large = np.minimum(val_if_large, num_buckets - 1)
+    return ret + np.where(n < max_exact, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    heads: int
+    num_buckets: int = 32
+    max_distance: int = 64
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, qk_dots):
+        i, j = qk_dots.shape[-2:]
+        rel = np.arange(j)[None, :] - np.arange(i)[:, None]
+        buckets = jnp.asarray(_t5_bucket(rel, self.num_buckets, self.max_distance))
+        table = nn.Embed(self.num_buckets, self.heads)(buckets)  # (i, j, h)
+        bias = jnp.transpose(table, (2, 0, 1))[None]
+        return qk_dots + bias * self.scale
+
+
+class AttentionBlock(nn.Module):
+    """GroupNorm → fused qkv 1×1 → MHA with rel-pos bias → zero-init proj →
+    residual (utils.AttentionBlock:172-215)."""
+
+    channels: int
+    num_heads: int = 1
+    relative_pos_embeddings: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        h = self.num_heads
+        dk = c // h
+        qkv = nn.Dense(3 * c)(GroupNorm32(c)(x))
+        # legacy layout: per head, [q;k;v] channels (utils.py:155)
+        qkv = qkv.reshape(b, t, h, 3 * dk)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / math.sqrt(math.sqrt(dk))
+        w = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
+        if self.relative_pos_embeddings:
+            w = RelativePositionBias(heads=h, scale=dk**0.5)(w)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
+        a = jnp.einsum("bhts,bshd->bthd", w, v).reshape(b, t, c)
+        a = nn.Dense(c, kernel_init=nn.initializers.zeros)(a)
+        return x + a
+
+
+class ScaleShiftResBlock(nn.Module):
+    """ResBlock with scale-shift (FiLM) timestep conditioning
+    (aa_model.py:72-133, use_scale_shift_norm=True, efficient 1×1 in/skip)."""
+
+    channels: int
+    emb_channels: int
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic=True):
+        out_ch = self.out_channels or self.channels
+        h = GroupNorm32(self.channels)(x)
+        h = jax.nn.silu(h)
+        h = nn.Dense(out_ch)(h)  # efficient_config: 1×1 conv
+        e = nn.Dense(2 * out_ch)(jax.nn.silu(emb))  # (B, 2C)
+        scale, shift = jnp.split(e[:, None, :], 2, axis=-1)
+        h = GroupNorm32(out_ch)(h) * (1 + scale) + shift
+        h = jax.nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(out_ch, (self.kernel_size,), padding="SAME")(h)
+        skip = x if out_ch == self.channels else nn.Dense(out_ch)(x)
+        return skip + h
+
+
+class DiffusionLayer(nn.Module):
+    """ScaleShiftResBlock + rel-pos AttentionBlock (aa_model.py:135-148)."""
+
+    channels: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, time_emb, deterministic=True):
+        y = ScaleShiftResBlock(self.channels, self.channels, self.channels, self.dropout)(
+            x, time_emb, deterministic
+        )
+        return AttentionBlock(self.channels, self.num_heads)(y)
+
+
+class RefEncoder(nn.Module):
+    """Perceiver-style pooling of the reference embedding: 32 learned latents
+    cross-attend to the sequence, concat, attention stack, mean-pool
+    (aa_model.py:150-178). Returns (B, dim)."""
+
+    dim: int
+    num_latents: int = 32
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        latents = self.param(
+            "latents", nn.initializers.normal(0.02), (self.num_latents, self.dim)
+        )
+        lat = jnp.tile(latents[None], (b, 1, 1))
+        # cross attention: queries=latents, kv=x (vc_utils.MultiHeadAttention)
+        h = self.num_heads
+        dk = self.dim // h
+        q = nn.Dense(self.dim)(lat).reshape(b, -1, h, dk)
+        k = nn.Dense(self.dim)(x).reshape(b, -1, h, dk)
+        v = nn.Dense(self.dim)(x).reshape(b, -1, h, dk)
+        w = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q / math.sqrt(dk), k).astype(jnp.float32), -1
+        ).astype(x.dtype)
+        lat = nn.Dense(self.dim)(jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, -1, self.dim))
+
+        y = jnp.concatenate([lat, x], axis=1)
+        y = nn.Conv(self.dim, (3,), padding="SAME")(y)
+        for _ in range(4):
+            y = AttentionBlock(self.dim, self.num_heads)(y)
+        y = y[:, : self.num_latents]
+        return jnp.mean(y, axis=1)
+
+
+class AA_diffusion(nn.Module):
+    cfg: DiffusionNetConfig
+
+    def setup(self):
+        c = self.cfg
+        ch = c.model_channels
+        self.inp_block = nn.Conv(ch, (3,), padding="SAME")
+        self.time_embed = [nn.Dense(ch), nn.Dense(ch)]
+        self.code_norm = GroupNorm32(ch)
+        self.latent_conditioner = [
+            nn.Conv(ch, (3,), padding="SAME"),
+            AttentionBlock(ch, c.num_heads),
+            AttentionBlock(ch, c.num_heads),
+            AttentionBlock(ch, c.num_heads),
+        ]
+        self.unconditioned_embedding = self.param(
+            "unconditioned_embedding", nn.initializers.normal(1.0), (1, 1, ch)
+        )
+        self.conditioning_timestep_integrator = [
+            DiffusionLayer(ch, c.num_heads, c.dropout) for _ in range(3)
+        ]
+        self.refer_conv = nn.Conv(ch, (3,), padding="SAME")
+        self.refer_attn = [AttentionBlock(ch, c.num_heads) for _ in range(3)]
+        self.refer_pool = RefEncoder(ch)
+        self.integrating_conv = nn.Dense(ch)
+        self.layers = [DiffusionLayer(ch, c.num_heads, c.dropout) for _ in range(c.num_layers)] + [
+            ScaleShiftResBlock(ch, ch, ch, c.dropout) for _ in range(3)
+        ]
+        self.out_norm = GroupNorm32(ch)
+        self.out_conv = nn.Conv(c.out_channels, (3,), padding="SAME")
+
+    def _latent_emb(self, latent):
+        h = latent
+        for m in self.latent_conditioner:
+            h = m(h)
+        return h
+
+    def _refer_emb(self, refer):
+        h = self.refer_conv(refer)
+        for m in self.refer_attn:
+            h = m(h)
+        return self.refer_pool(h)
+
+    def timestep_independent(self, latent, refer, expected_seq_len: int,
+                             train: bool = False, uncond_key=None,
+                             unconditioned_percentage: float = 0.1):
+        """Conditioning embedding at the output frame rate (aa_model.py:245-257).
+        latent (B, Tl, in_latent), refer (B, Tr, in_channels) → (B, T, ch)."""
+        latent_emb = self._latent_emb(latent)
+        refer_emb = self._refer_emb(refer)
+        latent_emb = self.code_norm(latent_emb) + refer_emb[:, None, :]
+        if train and uncond_key is not None and unconditioned_percentage > 0:
+            b = latent_emb.shape[0]
+            drop = jax.random.uniform(uncond_key, (b, 1, 1)) < unconditioned_percentage
+            latent_emb = jnp.where(drop, self.unconditioned_embedding, latent_emb)
+        return _nearest_interp(latent_emb, expected_seq_len)
+
+    def trunk(self, x, timesteps, cond_emb, train: bool = False, layerdrop_key=None):
+        """Noisy mel (B, T, in_channels) + conditioning (B, T, ch) → (B, T, out)."""
+        c = self.cfg
+        t_emb = timestep_embedding(timesteps, c.model_channels)
+        t_emb = self.time_embed[1](jax.nn.silu(self.time_embed[0](t_emb)))
+
+        h = cond_emb
+        for m in self.conditioning_timestep_integrator:
+            h = m(h, t_emb, deterministic=not train)
+        x = self.inp_block(x)
+        x = self.integrating_conv(jnp.concatenate([x, h], axis=-1))
+        n = len(self.layers)
+        for i, lyr in enumerate(self.layers):
+            y = lyr(x, t_emb, deterministic=not train)
+            if train and self.cfg.layer_drop > 0 and layerdrop_key is not None and 0 < i < n - 1:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(layerdrop_key, i), 1.0 - self.cfg.layer_drop
+                )
+                x = jnp.where(keep, y, x)  # stochastic depth (aa_model.py:274-279)
+            else:
+                x = y
+        x = jax.nn.silu(self.out_norm(x.astype(jnp.float32)))
+        return self.out_conv(x)
+
+    def __call__(self, x, timesteps, latent=None, refer=None,
+                 conditioning_free: bool = False, train: bool = False):
+        """Reference-parity entry (aa_model.py:260-289)."""
+        if conditioning_free:
+            cond = jnp.tile(self.unconditioned_embedding, (x.shape[0], x.shape[1], 1))
+        else:
+            uncond_key = self.make_rng("uncond") if train else None
+            cond = self.timestep_independent(
+                latent, refer, x.shape[1], train=train, uncond_key=uncond_key
+            )
+        ld_key = self.make_rng("layerdrop") if train and self.cfg.layer_drop > 0 else None
+        return self.trunk(x, timesteps, cond, train=train, layerdrop_key=ld_key)
+
+
+def _nearest_interp(x: jax.Array, out_len: int) -> jax.Array:
+    """torch F.interpolate(mode='nearest') along time for (B, T, C)."""
+    t = x.shape[1]
+    idx = (jnp.arange(out_len) * t) // out_len
+    return x[:, idx]
