@@ -1,0 +1,162 @@
+"""CLVP — contrastive text↔speech-code reranker.
+
+TPU-native rebuild of ttts/clvp/model.py:19-141: dual transformer encoders
+over BPE text tokens and speech VQ tokens, masked mean-pooling
+(masked_mean:15), linear projections to a shared latent, L2 normalization,
+learned temperature; symmetric InfoNCE when training (model.py:137-139), and
+per-pair similarity for reranking AR samples (model.py:133-135, used by
+api.py:416-430).
+
+Encoders use the reference's preferred x-transformers configuration
+(model.py:53-83: RMSNorm, GLU feed-forward with mult 2, rotary position
+embeddings) implemented directly in flax — rotary needs no position tables
+and maps cleanly onto fused attention.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ttts_tpu.config import CLVPConfig
+
+
+def rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary(x, t):
+    """x: (B, T, H, D). Standard rotary over the head dim."""
+    d = x.shape[-1]
+    freqs = 1.0 / (10000 ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = t[:, None] * freqs[None, :]  # (T, D/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (T, D)
+    cos = jnp.cos(angles)[None, :, None, :]
+    sin = jnp.sin(angles)[None, :, None, :]
+    return x * cos + rotate_half(x) * sin
+
+
+class RMSNorm(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(x**2, axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + 1e-8) * scale
+
+
+class EncoderLayer(nn.Module):
+    dim: int
+    heads: int
+    ff_mult: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        d, h = self.dim, self.heads
+        dk = d // h
+        b, t, _ = x.shape
+
+        y = RMSNorm()(x)
+        q = nn.Dense(d, use_bias=False)(y).reshape(b, t, h, dk)
+        k = nn.Dense(d, use_bias=False)(y).reshape(b, t, h, dk)
+        v = nn.Dense(d, use_bias=False)(y).reshape(b, t, h, dk)
+        pos = jnp.arange(t, dtype=jnp.float32)
+        q = apply_rotary(q, pos)
+        k = apply_rotary(k, pos)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dk)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, None, :], scores, -1e9)
+        p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        if self.dropout > 0:
+            p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
+        x = x + nn.Dense(d, use_bias=False)(attn)
+
+        # GLU feed-forward (ff_glu=True, ff_mult=2)
+        y = RMSNorm()(x)
+        u = nn.Dense(d * self.ff_mult, use_bias=False)(y)
+        g = nn.Dense(d * self.ff_mult, use_bias=False)(y)
+        y = u * jax.nn.gelu(g, approximate=True)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return x + nn.Dense(d, use_bias=False)(y)
+
+
+class CLVPEncoder(nn.Module):
+    dim: int
+    depth: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        for _ in range(self.depth):
+            x = EncoderLayer(self.dim, self.heads)(x, mask, deterministic)
+        return RMSNorm()(x)
+
+
+def masked_mean(x, mask):
+    """(B, T, D), bool (B, T) → (B, D) (clvp/model.py:15-17)."""
+    m = mask[..., None].astype(x.dtype)
+    return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+class CLVP(nn.Module):
+    cfg: CLVPConfig
+
+    @nn.compact
+    def __call__(self, text, speech_tokens, text_mask=None, voice_mask=None,
+                 return_loss: bool = False, train: bool = False):
+        c = self.cfg
+        b = text.shape[0]
+        if text_mask is None:
+            text_mask = jnp.ones(text.shape, bool)
+        if voice_mask is None:
+            voice_mask = jnp.ones(speech_tokens.shape, bool)
+        if train and c.text_mask_percentage > 0:
+            text_mask = text_mask & (
+                jax.random.uniform(self.make_rng("mask"), text.shape) > c.text_mask_percentage
+            )
+        if train and c.voice_mask_percentage > 0:
+            voice_mask = voice_mask & (
+                jax.random.uniform(self.make_rng("mask"), speech_tokens.shape)
+                > c.voice_mask_percentage
+            )
+
+        text_emb = nn.Embed(c.num_text_tokens, c.dim_text)(text)
+        speech_emb = nn.Embed(c.num_speech_tokens, c.dim_speech)(speech_tokens)
+
+        enc_text = CLVPEncoder(c.dim_text, c.text_enc_depth, c.text_heads)(
+            text_emb, text_mask, deterministic=not train
+        )
+        enc_speech = CLVPEncoder(c.dim_speech, c.speech_enc_depth, c.speech_heads)(
+            speech_emb, voice_mask, deterministic=not train
+        )
+
+        text_latent = nn.Dense(c.dim_latent, use_bias=False)(masked_mean(enc_text, text_mask))
+        speech_latent = nn.Dense(c.dim_latent, use_bias=False)(
+            masked_mean(enc_speech, voice_mask)
+        )
+        text_latent = text_latent / jnp.linalg.norm(text_latent, axis=-1, keepdims=True)
+        speech_latent = speech_latent / jnp.linalg.norm(speech_latent, axis=-1, keepdims=True)
+
+        temp = jnp.exp(self.param("temperature", nn.initializers.ones, ()))
+
+        if not return_loss:
+            return jnp.sum(text_latent * speech_latent, axis=-1) * temp
+
+        sim = text_latent @ speech_latent.T * temp
+        labels = jnp.arange(b)
+        loss = 0.5 * (
+            _xent(sim, labels) + _xent(sim.T, labels)
+        )
+        return loss
+
+
+def _xent(logits, labels):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
