@@ -1,0 +1,237 @@
+"""Jitted train steps for every model family.
+
+One pure function per trainer, mirroring the reference loops:
+  - GPT: ttts/gpt/train.py:89-136 — loss = 0.01·text + 1.0·mel.
+  - Diffusion: ttts/diffusion/train.py:146-202 — frozen GPT produces latents
+    inside the same jit program (:161-165), x_start = normalized mel, uniform
+    timesteps, MSE+VLB.
+  - VQ-VAE GAN: ttts/vqvae/train.py:313-459 — alternating D (LSGAN) and G
+    (mel L1 ×45 + KL ×1 + feature-match + adv + commit) steps; the random
+    20480-sample slice is decoded, and both real and fake slices go through
+    the 32 kHz/128-mel loss mel.
+  - CLVP: ttts/clvp/train.py — symmetric InfoNCE.
+  - Classifier: ttts/classifier/train.py — CE with optional label smoothing.
+
+All steps are shard-agnostic: under pjit with a batch-sharded input the
+gradient mean is the implicit XLA collective (no DDP plumbing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ttts_tpu.models.losses import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    kl_loss,
+)
+from ttts_tpu.models.diffusion_net import normalize_tacotron_mel
+from ttts_tpu.models.vqvae import slice_segments
+from ttts_tpu.ops.mel import vits_mel_spectrogram
+from ttts_tpu.train.state import TrainState, ema_update
+
+
+# --------------------------------------------------------------------- GPT
+
+
+def gpt_train_step(state: TrainState, batch: Dict[str, jax.Array], key,
+                   model, text_weight: float = 0.01, mel_weight: float = 1.0):
+    """batch: padded_text (B,Lt), text_lengths, padded_qmel (B,Lm), wav_lens."""
+
+    def loss_fn(params):
+        lt, lm, _ = model.apply(
+            params,
+            batch["text"], batch["text_lengths"], batch["mel_codes"], batch["wav_lengths"],
+            deterministic=False,
+            rngs={"dropout": key},
+        )
+        return text_weight * lt + mel_weight * lm, (lt, lm)
+
+    (loss, (lt, lm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    if state.ema_params is not None:
+        new_state = new_state.replace(
+            ema_params=ema_update(state.ema_params, new_state.params)
+        )
+    metrics = {
+        "loss": loss, "loss_text": lt, "loss_mel": lm,
+        "grad_norm": optax_global_norm(grads),
+    }
+    return new_state, metrics
+
+
+def optax_global_norm(tree):
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+# ---------------------------------------------------------------- diffusion
+
+
+def diffusion_train_step(state: TrainState, batch, key, model, diffuser,
+                         gpt_model, gpt_params, unconditioned_percentage=0.1):
+    """batch: text, mel (B,T,100), mel_refer (B,Tr,100), mel_codes, wav_lengths,
+    text_lengths. Frozen-GPT latent production runs inside this jit program
+    (diffusion/train.py:161-165)."""
+    k_t, k_noise, k_uncond, k_drop, k_ld = jax.random.split(key, 5)
+
+    latent = gpt_model.apply(
+        gpt_params,
+        batch["text"], batch["text_lengths"], batch["mel_codes"], batch["wav_lengths"],
+        return_latent=True,
+    )
+    latent = jax.lax.stop_gradient(latent)
+
+    x_start = normalize_tacotron_mel(batch["mel"])
+    refer = normalize_tacotron_mel(batch["mel_refer"])
+    b = x_start.shape[0]
+    t = jax.random.randint(k_t, (b,), 0, diffuser.num_timesteps)
+
+    def loss_fn(params):
+        def model_fn(x, t_in, conditioning_free=False, **kw):
+            return model.apply(
+                params, x, t_in, latent, refer,
+                conditioning_free=conditioning_free, train=True,
+                rngs={"uncond": k_uncond, "layerdrop": k_ld, "dropout": k_drop},
+            )
+
+        losses = diffuser.training_losses(model_fn, x_start, t, k_noise)
+        return jnp.mean(losses["loss"]), (jnp.mean(losses["mse"]), jnp.mean(losses["vb"]))
+
+    (loss, (mse, vb)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    return new_state, {"loss": loss, "mse": mse, "vb": vb,
+                       "grad_norm": optax_global_norm(grads)}
+
+
+# ------------------------------------------------------------------- VQ-VAE
+
+
+def vqvae_train_step(
+    g_state: TrainState,
+    d_state: TrainState,
+    batch,
+    key,
+    generator,
+    discriminator,
+    audio_cfg,
+    c_mel: float = 45.0,
+    c_kl: float = 1.0,
+):
+    """One alternating D/G step (vqvae/train.py:313-406).
+
+    batch: wav (B,T,1), wav_aug (B,T,1), spec (B,F,C), spec_aug, spec_lengths,
+    text, text_lengths. The generator's codebook lives in
+    g_state.extra_vars['codebook'] and is threaded through."""
+    k_noise, k_slice, k_vq, k_drop = jax.random.split(key, 4)
+    hop = audio_cfg.hop_length
+    seg_frames = generator.segment_frames
+
+    def run_gen(params, extra):
+        outs, mut = generator.apply(
+            {"params": params, **extra},
+            batch["wav"], batch["wav_aug"], batch["spec"], batch["spec_aug"],
+            batch["spec_lengths"], batch["text"], batch["text_lengths"],
+            train=True,
+            rngs={"noise": k_noise, "slice": k_slice, "vq": k_vq, "dropout": k_drop},
+            mutable=["codebook"],
+        )
+        return outs, mut
+
+    # ---- generator forward (shared between D and G losses)
+    (y_hat, commit_loss, ids_slice, y_mask, stats, quantized), new_extra = run_gen(
+        g_state.params, g_state.extra_vars
+    )
+    z, z_p, m_p, logs_p, m_q, logs_q = stats
+    y_real = slice_segments(batch["wav"], ids_slice * hop, seg_frames * hop)
+
+    # ---- discriminator step (fake detached)
+    def d_loss_fn(d_params):
+        yr, yg, _, _ = discriminator.apply(
+            {"params": d_params}, y_real, jax.lax.stop_gradient(y_hat)
+        )
+        loss_disc, _, _ = discriminator_loss(yr, yg)
+        return loss_disc
+
+    loss_disc, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+    new_d_state = d_state.apply_gradients(grads=d_grads)
+
+    # ---- generator step
+    a = audio_cfg
+
+    def mel_of(wav):
+        return vits_mel_spectrogram(
+            wav[..., 0], a.filter_length, a.n_mel_channels, a.sampling_rate,
+            a.hop_length, a.win_length, a.mel_fmin, a.mel_fmax,
+        )
+
+    mel_real = mel_of(y_real)
+
+    def g_loss_fn(g_params):
+        (y_hat, commit_loss, ids_slice_g, y_mask, stats, _), mut = run_gen(
+            g_params, g_state.extra_vars
+        )
+        z, z_p, m_p, logs_p, m_q, logs_q = stats
+        y_real_g = slice_segments(batch["wav"], ids_slice_g * hop, seg_frames * hop)
+        yr, yg, fr, fg = discriminator.apply(
+            {"params": new_d_state.params}, y_real_g, y_hat
+        )
+        loss_mel = jnp.mean(jnp.abs(mel_of(y_real_g) - mel_of(y_hat))) * c_mel
+        loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * c_kl
+        loss_fm = feature_loss(fr, fg)
+        loss_adv, _ = generator_loss(yg)
+        total = loss_mel + loss_kl + loss_fm + loss_adv + commit_loss
+        return total, (mut, loss_mel, loss_kl, loss_fm, loss_adv, commit_loss)
+
+    (loss_gen_all, (mut, loss_mel, loss_kl_v, loss_fm, loss_adv, commit)), g_grads = (
+        jax.value_and_grad(g_loss_fn, has_aux=True)(g_state.params)
+    )
+    new_g_state = g_state.apply_gradients(grads=g_grads)
+    new_g_state = new_g_state.replace(extra_vars=dict(mut))
+
+    metrics = {
+        "loss_disc": loss_disc,
+        "loss_gen_all": loss_gen_all,
+        "loss_mel": loss_mel,
+        "loss_kl": loss_kl_v,
+        "loss_fm": loss_fm,
+        "loss_adv": loss_adv,
+        "commit_loss": commit,
+    }
+    return new_g_state, new_d_state, metrics
+
+
+# --------------------------------------------------------------------- CLVP
+
+
+def clvp_train_step(state: TrainState, batch, key, model):
+    def loss_fn(params):
+        return model.apply(
+            params, batch["text"], batch["speech_tokens"], return_loss=True,
+            train=True, rngs={"mask": key, "dropout": jax.random.fold_in(key, 1)},
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+
+# --------------------------------------------------------------- classifier
+
+
+def classifier_train_step(state: TrainState, batch, key, model):
+    def loss_fn(params):
+        return model.apply(
+            params, batch["mel"], labels=batch["labels"], deterministic=False,
+            rngs={"dropout": key},
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    return new_state, {"loss": loss}
