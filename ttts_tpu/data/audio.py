@@ -22,6 +22,17 @@ _lib = None
 
 def _native():
     global _lib
+    if _lib is None and not _LIB_PATH.exists():
+        # build on first use (binary is not checked in)
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", str(_LIB_PATH.parent)], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
     if _lib is None and _LIB_PATH.exists():
         lib = ctypes.CDLL(str(_LIB_PATH))
 
