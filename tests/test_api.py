@@ -1,0 +1,64 @@
+"""End-to-end serving pipeline smoke test (tiny configs, random weights).
+
+This is the BASELINE config-5 integration path: BPE → GPT → CLVP rerank →
+diffusion → vocoder on one utterance.
+"""
+
+import numpy as np
+import pytest
+
+from ttts_tpu.config import (
+    AcousticMelConfig,
+    AudioConfig,
+    CLVPConfig,
+    DiffusionNetConfig,
+    DiffusionProcessConfig,
+    GPTConfig,
+    TTTSConfig,
+    TrainConfig,
+    VQVAEConfig,
+    VocosConfig,
+)
+from ttts_tpu.api import TextToSpeech
+
+TINY = TTTSConfig(
+    audio=AudioConfig(sampling_rate=32000, filter_length=1024, hop_length=640,
+                      win_length=1024, n_mel_channels=32),
+    acoustic_mel=AcousticMelConfig(sample_rate=24000, n_fft=256, hop_length=256,
+                                   n_mels=100),
+    vqvae=VQVAEConfig(inter_channels=16, hidden_channels=16, filter_channels=32,
+                      n_heads=2, n_layers=2, p_dropout=0.0,
+                      upsample_initial_channel=32, gin_channels=16,
+                      codebook_bins=32),
+    gpt=GPTConfig(model_dim=64, layers=1, heads=2, max_text_tokens=64,
+                  max_mel_tokens=128, number_mel_codes=1026,
+                  start_mel_token=1024, stop_mel_token=1025),
+    diffusion_net=DiffusionNetConfig(in_channels=100, out_channels=200,
+                                     model_channels=64, num_heads=4, num_layers=1,
+                                     in_latent_channels=64),
+    clvp=CLVPConfig(dim_text=32, dim_speech=32, dim_latent=16,
+                    num_text_tokens=256, num_speech_tokens=1026,
+                    text_enc_depth=1, speech_enc_depth=1, text_heads=2,
+                    speech_heads=2),
+    vocos=VocosConfig(input_channels=100, dim=32, intermediate_dim=96,
+                      num_layers=1, n_fft=1024, hop_length=256),
+    train=TrainConfig(segment_size=640 * 4),
+)
+
+
+@pytest.mark.slow
+def test_full_pipeline_smoke():
+    tts = TextToSpeech(TINY, seed=0)
+    rng = np.random.default_rng(0)
+    voice = (rng.standard_normal(32000) * 0.1).astype(np.float32)  # 1 s @ 32 kHz
+    wav = tts.tts(
+        "ni3 hao3 shi4 jie4", voice, 32000, preset="ultra_fast",
+        max_generate_length=32, voice_cache_key="v0",
+    )
+    assert wav.ndim == 1
+    assert wav.shape[0] > 1000  # produced audio
+    assert np.isfinite(wav).all()
+    # conditioning cache hit path
+    wav2 = tts.tts("ni3 hao3", voice, 32000, preset="ultra_fast",
+                   max_generate_length=32, voice_cache_key="v0")
+    assert np.isfinite(wav2).all()

@@ -1,0 +1,274 @@
+"""End-to-end zero-shot TTS serving pipeline.
+
+The v2 inference product (demo.ipynb cells 6-12 / ttts/api_zh.py call stack,
+SURVEY §3.1), plus the v1-style `TextToSpeech` class surface (ttts/api.py:154)
+where meaningful (presets, conditioning caching, candidate reranking):
+
+  text → pinyin → BPE → [prompt wav → codec extract_code → prompt VQ codes]
+       → GPT AR decode (k candidates, jitted scan with static KV cache)
+       → CLVP rerank → GPT return_latent for the winner
+       → SpacedDiffusion DPM++(2M) 50 steps, cond-free k=2, batched CFG
+       → denormalize mel → Vocos → 24 kHz wav.
+
+Every stage is its own jit program with shape bucketing (text/prompt lengths
+round up to 16) so recompilation is bounded; models stay resident on device
+(the v2 scripts' behavior — no per-stage CPU↔device shuffling like
+api.py temporary_cuda:219).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttts_tpu.config import TTTSConfig, default_config
+from ttts_tpu.diffusion.dpm import cfg_eps_fn, dpm_solver_pp_2m_sample
+from ttts_tpu.models.clvp import CLVP
+from ttts_tpu.models.diffusion_net import (
+    AA_diffusion,
+    denormalize_tacotron_mel,
+    normalize_tacotron_mel,
+)
+from ttts_tpu.models.gpt import UnifiedVoice, inference_speech
+from ttts_tpu.models.sampling import SamplingParams
+from ttts_tpu.models.vocos import Vocos
+from ttts_tpu.models.vqvae import SynthesizerTrn
+from ttts_tpu.ops.mel import acoustic_mel_spectrogram, vits_spectrogram
+from ttts_tpu.ops.resample import resample
+from ttts_tpu.text import default_tokenizer, text_to_pinyin
+
+# Tortoise-style presets (ttts/api.py:276-281), adapted to the v2 stages.
+PRESETS = {
+    "ultra_fast": {"num_autoregressive_samples": 1, "diffusion_iterations": 30},
+    "fast": {"num_autoregressive_samples": 4, "diffusion_iterations": 50},
+    "standard": {"num_autoregressive_samples": 8, "diffusion_iterations": 50},
+    "high_quality": {"num_autoregressive_samples": 16, "diffusion_iterations": 100},
+}
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+class TextToSpeech:
+    """Resident-model serving orchestrator."""
+
+    def __init__(self, cfg: Optional[TTTSConfig] = None, params: Optional[Dict] = None,
+                 seed: int = 0):
+        self.cfg = cfg or default_config()
+        self.tok = default_tokenizer()
+        c = self.cfg
+
+        self.gpt = UnifiedVoice(c.gpt)
+        self.codec = SynthesizerTrn(
+            c.vqvae, spec_channels=c.audio.filter_length // 2 + 1,
+            segment_frames=c.train.segment_size // c.audio.hop_length,
+        )
+        self.diffusion_net = AA_diffusion(c.diffusion_net)
+        self.vocos = Vocos(c.vocos)
+        self.clvp = CLVP(c.clvp)
+        self.params = params if params is not None else self._random_init(seed)
+        # conditioning cache: voice id → (prompt_codes, refer_mel)
+        self._cond_cache: Dict[str, tuple] = {}
+
+    # ------------------------------------------------------------------ init
+
+    def _random_init(self, seed: int) -> Dict:
+        """Random-init parameters for every stage (used for pipeline testing
+        and benchmarking; real deployments restore from checkpoints)."""
+        c = self.cfg
+        key = jax.random.key(seed)
+        hop = c.audio.hop_length
+        frames = 8
+        wav32 = jnp.zeros((1, frames * hop, 1))
+        spec = jnp.zeros((1, frames, c.audio.filter_length // 2 + 1))
+        sl = jnp.asarray([frames])
+        text = jnp.zeros((1, 8), jnp.int32)
+        tl = jnp.asarray([8])
+        codes = jnp.zeros((1, 16), jnp.int32)
+        wl = jnp.asarray([16 * 1024])
+        rngs = {"params": key, "noise": key, "slice": key, "vq": key}
+        params = {}
+        params["codec"] = self.codec.init(rngs, wav32, wav32, spec, spec, sl, text, tl,
+                                          train=False)
+        params["gpt"] = self.gpt.init(key, text, tl, codes, wl)
+        mel = jnp.zeros((1, 32, c.diffusion_net.in_channels))
+        latent = jnp.zeros((1, 16, c.diffusion_net.in_latent_channels))
+        params["diffusion"] = self.diffusion_net.init(
+            key, mel, jnp.asarray([1.0]), latent, mel
+        )
+        params["vocos"] = self.vocos.init(key, mel)
+        params["clvp"] = self.clvp.init(key, text, codes)
+        return params
+
+    # ------------------------------------------------- conditioning (prompt)
+
+    def get_conditioning(self, voice_wav: np.ndarray, sample_rate: int,
+                         cache_key: Optional[str] = None):
+        """prompt wav → (prompt VQ codes (1, Lp), reference mel (1, Tr, 100)).
+        Analogue of api.py get_conditioning_latents:225 over prompt codes."""
+        if cache_key and cache_key in self._cond_cache:
+            return self._cond_cache[cache_key]
+        c = self.cfg
+        wav = jnp.asarray(voice_wav, jnp.float32).reshape(1, -1)
+        wav32 = resample(wav, sample_rate, c.audio.sampling_rate)
+        hop = c.audio.hop_length
+        t = (wav32.shape[1] // hop) * hop
+        wav32 = wav32[:, :t]
+        spec = vits_spectrogram(
+            wav32, c.audio.filter_length, hop, c.audio.win_length
+        ).swapaxes(1, 2)  # (1, F, spec_ch)
+        codes = self.codec.apply(
+            self.params["codec"], wav32[..., None], spec,
+            jnp.asarray([spec.shape[1]]), method=self.codec.extract_code,
+        )  # (1, n_q, F/2)
+        prompt_codes = codes[:, 0, :]
+
+        wav24 = resample(wav, sample_rate, c.acoustic_mel.sample_rate)
+        refer_mel = acoustic_mel_spectrogram(
+            wav24, c.acoustic_mel.sample_rate, c.acoustic_mel.n_fft,
+            c.acoustic_mel.hop_length, c.acoustic_mel.n_mels,
+        ).swapaxes(1, 2)  # (1, T, 100)
+        out = (prompt_codes, refer_mel)
+        if cache_key:
+            self._cond_cache[cache_key] = out
+        return out
+
+    # ---------------------------------------------------------------- stages
+    # jitted closures take params explicitly so weight updates don't bake into
+    # the compiled programs; shape buckets bound recompilation.
+
+    @functools.cached_property
+    def _gpt_sample_fn(self):
+        def fn(params, text_ids, prompt_codes, key, max_gen, num_samples):
+            text_b = jnp.tile(text_ids, (num_samples, 1))
+            prompt_b = jnp.tile(prompt_codes, (num_samples, 1))
+            return inference_speech(
+                self.gpt, params, text_b, prompt_b, key, max_gen,
+                SamplingParams(top_p=0.8, temperature=0.8, repetition_penalty=2.0),
+            )
+
+        return jax.jit(fn, static_argnames=("max_gen", "num_samples"))
+
+    def _gpt_sample(self, text_ids, prompt_codes, key, max_gen, num_samples):
+        return self._gpt_sample_fn(
+            self.params["gpt"], text_ids, prompt_codes, key, max_gen, num_samples
+        )
+
+    @functools.cached_property
+    def _clvp_rank_fn(self):
+        def fn(params, text_ids, codes):
+            text_b = jnp.tile(text_ids, (codes.shape[0], 1))
+            return self.clvp.apply(params, text_b, codes)
+
+        return jax.jit(fn)
+
+    def _clvp_rank(self, text_ids, codes):
+        return self._clvp_rank_fn(self.params["clvp"], text_ids, codes)
+
+    @functools.cached_property
+    def _gpt_latent_fn(self):
+        def fn(params, text_ids, codes, code_len):
+            return self.gpt.apply(
+                params, text_ids, jnp.asarray([text_ids.shape[1]]),
+                codes, code_len * 1024, return_latent=True,
+            )
+
+        return jax.jit(fn)
+
+    def _gpt_latent(self, text_ids, codes, code_len):
+        return self._gpt_latent_fn(self.params["gpt"], text_ids, codes, code_len)
+
+    @functools.cached_property
+    def _diffusion_decode_fn(self):
+        def fn(params, latent, refer_mel, key, steps, out_len, guidance_scale):
+            refer = normalize_tacotron_mel(refer_mel)
+            cond = self.diffusion_net.apply(
+                params, latent, refer, out_len,
+                method=self.diffusion_net.timestep_independent,
+            )
+            uncond_emb = params["params"]["unconditioned_embedding"]
+            uncond = jnp.tile(uncond_emb, (latent.shape[0], out_len, 1))
+
+            def trunk(x2, t2, emb2):
+                return self.diffusion_net.apply(
+                    params, x2, t2, emb2, method=self.diffusion_net.trunk
+                )
+
+            eps_fn = cfg_eps_fn(trunk, cond, uncond, guidance_scale)
+            noise = jax.random.normal(
+                key, (latent.shape[0], out_len, self.cfg.diffusion_net.in_channels)
+            )
+            mel_norm = dpm_solver_pp_2m_sample(eps_fn, noise, steps=steps)
+            return denormalize_tacotron_mel(mel_norm)
+
+        return jax.jit(fn, static_argnames=("steps", "out_len"))
+
+    def _diffusion_decode(self, latent, refer_mel, key, steps, out_len,
+                          guidance_scale: float = 2.0):
+        return self._diffusion_decode_fn(
+            self.params["diffusion"], latent, refer_mel, key, steps, out_len,
+            guidance_scale,
+        )
+
+    @functools.cached_property
+    def _vocode_fn(self):
+        def fn(params, mel):
+            return self.vocos.apply(params, mel)
+
+        return jax.jit(fn)
+
+    def _vocode(self, mel):
+        return self._vocode_fn(self.params["vocos"], mel)
+
+    # ------------------------------------------------------------------- tts
+
+    def tts(self, text: str, voice_wav: np.ndarray, voice_sample_rate: int,
+            preset: str = "fast", max_generate_length: int = 400,
+            seed: int = 0, voice_cache_key: Optional[str] = None) -> np.ndarray:
+        """Full zero-shot synthesis. Returns a 24 kHz float waveform."""
+        opts = PRESETS[preset]
+        k = opts["num_autoregressive_samples"]
+        key = jax.random.key(seed)
+
+        ids = np.asarray(self.tok.encode(text_to_pinyin(text)), np.int32)
+        lt = _round_up(len(ids), 16)
+        text_ids = jnp.asarray(np.pad(ids, (0, lt - len(ids))))[None]
+
+        prompt_codes, refer_mel = self.get_conditioning(
+            voice_wav, voice_sample_rate, voice_cache_key
+        )
+        lp = _round_up(prompt_codes.shape[1], 16)
+        prompt_codes = jnp.pad(prompt_codes, ((0, 0), (0, lp - prompt_codes.shape[1])))
+
+        k1, k2 = jax.random.split(key)
+        codes = self._gpt_sample(text_ids, prompt_codes, k1, max_generate_length, k)
+
+        if k > 1:
+            sims = self._clvp_rank(text_ids, codes)
+            best = int(jnp.argmax(sims))
+        else:
+            best = 0
+        best_codes = codes[best:best + 1]
+        stop = self.cfg.gpt.stop_mel_token
+        arr = np.asarray(best_codes[0])
+        stops = np.where(arr == stop)[0]
+        code_len = int(stops[0]) if len(stops) else arr.shape[0]
+        # replace trailing stop tokens with zeros for latent computation
+        clean = np.where(np.arange(arr.shape[0]) < code_len, arr, 0)
+        best_codes = jnp.asarray(clean)[None]
+
+        latent = self._gpt_latent(text_ids, best_codes, jnp.asarray([code_len]))
+        out_len = _round_up(code_len * 4, 4)
+        latent = latent[:, : best_codes.shape[1]]
+        mel = self._diffusion_decode(
+            latent, refer_mel, k2, opts["diffusion_iterations"], int(out_len),
+            guidance_scale=self.cfg.diffusion.cond_free_k,
+        )
+        wav = self._vocode(mel)
+        return np.asarray(wav[0])
