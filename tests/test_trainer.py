@@ -1,0 +1,77 @@
+"""Trainer loop + checkpointing integration tests."""
+
+import functools
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttts_tpu.config import GPTConfig
+from ttts_tpu.data.datasets import GptTtsDataset
+from ttts_tpu.data.manifest import save_sidecar, write_manifest
+from ttts_tpu.models.gpt import UnifiedVoice
+from ttts_tpu.train.checkpoints import CheckpointManager, export_release, load_release
+from ttts_tpu.train.state import TrainState, make_adamw
+from ttts_tpu.train.steps import gpt_train_step
+from ttts_tpu.train.trainer import Trainer
+
+TINY = GPTConfig(model_dim=32, layers=1, heads=2, max_text_tokens=32,
+                 max_mel_tokens=48, number_mel_codes=34, start_mel_token=32,
+                 stop_mel_token=33)
+
+
+def _batches(rng, n):
+    for _ in range(n):
+        yield {
+            "text": rng.integers(1, 100, size=(2, 8)).astype(np.int32),
+            "text_lengths": np.asarray([8, 6], np.int32),
+            "mel_codes": rng.integers(0, 32, size=(2, 12)).astype(np.int32),
+            "wav_lengths": np.asarray([12, 10], np.int32) * 1024,
+        }
+
+
+class TestTrainer:
+    def test_train_checkpoint_resume(self, tmp_path):
+        rng = np.random.default_rng(0)
+        model = UnifiedVoice(TINY)
+        b0 = next(_batches(rng, 1))
+        params = model.init(jax.random.key(0), jnp.asarray(b0["text"]),
+                            jnp.asarray(b0["text_lengths"]),
+                            jnp.asarray(b0["mel_codes"]),
+                            jnp.asarray(b0["wav_lengths"]))
+        state = TrainState.create(apply_fn=model.apply, params=params,
+                                  tx=make_adamw(1e-3, warmup_steps=1))
+        step = jax.jit(lambda s, b, k: gpt_train_step(s, b, k, model))
+        trainer = Trainer(step, state, list(_batches(rng, 8)),
+                          tmp_path / "logs", train_steps=6, save_freq=3,
+                          log_every=2)
+        final = trainer.train()
+        assert int(final.step) == 6
+        assert trainer.ckpt.latest_step() == 6
+
+        # fresh trainer resumes from step 6
+        t2 = Trainer(step, state, list(_batches(rng, 8)), tmp_path / "logs",
+                     train_steps=6, save_freq=3)
+        t2.maybe_resume()
+        assert t2.step == 6
+        assert int(t2.state.step) == 6
+
+
+class TestRelease:
+    def test_export_and_load_release(self, tmp_path, rng):
+        params = {
+            "params": {
+                "dec": {"kernel": rng.standard_normal((4, 4)).astype(np.float32)},
+                "enc_q": {"kernel": rng.standard_normal((4, 4)).astype(np.float32)},
+            }
+        }
+        path = tmp_path / "release.npz"
+        export_release(params, path, drop_prefixes=("enc_q",), config={"v": 2})
+        tree, cfg = load_release(path)
+        assert cfg == {"v": 2}
+        assert "dec" in tree["params"] and "enc_q" not in tree["params"]
+        # fp16 round trip within half precision
+        np.testing.assert_allclose(tree["params"]["dec"]["kernel"],
+                                   params["params"]["dec"]["kernel"], atol=2e-3)

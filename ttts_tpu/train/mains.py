@@ -1,0 +1,266 @@
+"""Per-model training entry points.
+
+CLI parity with the reference trainers:
+  python -m ttts_tpu.train.mains gpt        --config cfg.json --manifest data.jsonl
+  python -m ttts_tpu.train.mains diffusion  --config cfg.yaml --manifest data.jsonl --gpt-ckpt dir
+  python -m ttts_tpu.train.mains vqvae      --config cfg.json --manifest data.jsonl
+  python -m ttts_tpu.train.mains clvp       --config cfg.json --manifest data.jsonl
+  python -m ttts_tpu.train.mains classifier --config cfg.json --clean c.txt --noise n.txt
+
+(reference: `accelerate launch ttts/{gpt,diffusion,clvp,classifier}/train.py`
+and `python ttts/vqvae/train.py` — here there is no launcher: one process
+drives the whole mesh via jit/GSPMD.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttts_tpu.config import TTTSConfig, default_config, load_config
+from ttts_tpu.data.datasets import (
+    CLVPDataset,
+    DiffusionDataset,
+    GptTtsDataset,
+    VQGANDataset,
+)
+from ttts_tpu.data.loader import DataLoader, EpochLoader
+from ttts_tpu.data.sampler import DistributedBucketSampler
+from ttts_tpu.parallel import make_mesh
+from ttts_tpu.train.state import TrainState, make_adamw, make_gan_adam
+from ttts_tpu.train.steps import (
+    clvp_train_step,
+    diffusion_train_step,
+    gpt_train_step,
+    vqvae_train_step,
+)
+from ttts_tpu.train.trainer import Trainer
+
+
+def _simple_batches(dataset, batch_size: int, seed: int):
+    """Shuffled index batches, re-seeded per epoch."""
+
+    def make(epoch: int):
+        g = np.random.default_rng(seed + epoch)
+        order = g.permutation(len(dataset))
+        batches = [
+            list(order[i : i + batch_size])
+            for i in range(0, len(order) - batch_size + 1, batch_size)
+        ]
+        return DataLoader(dataset, batches, dataset.collate)
+
+    return EpochLoader(make)
+
+
+def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
+    model_cfg = cfg.gpt
+    from ttts_tpu.models.gpt import UnifiedVoice
+
+    model = UnifiedVoice(model_cfg)
+    ds = GptTtsDataset(manifest)
+    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+
+    ex = None
+    for i in range(len(ds)):
+        ex = ds[i]
+        if ex is not None:
+            break
+    assert ex is not None, "no usable examples in manifest"
+    batch0 = ds.collate([ex])
+    params = model.init(
+        jax.random.key(cfg.train.seed),
+        jnp.asarray(batch0["text"]), jnp.asarray(batch0["text_lengths"]),
+        jnp.asarray(batch0["mel_codes"]), jnp.asarray(batch0["wav_lengths"]),
+    )
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=make_adamw(cfg.train.lr, cfg.train.warmup_steps, cfg.train.betas,
+                      cfg.train.weight_decay, cfg.train.grad_clip),
+        ema_params=params,
+    )
+    step = jax.jit(
+        functools.partial(gpt_train_step, model=model,
+                          text_weight=cfg.train.text_weight,
+                          mel_weight=cfg.train.mel_weight)
+    )
+    trainer = Trainer(
+        lambda s, b, k: step(s, b, k), state, data,
+        logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+        cfg.train.save_freq, cfg.train.keep_ckpts, mesh=make_mesh(cfg.mesh),
+    )
+    trainer.maybe_resume()
+    return trainer.train()
+
+
+def train_clvp(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
+    from ttts_tpu.models.clvp import CLVP
+
+    model = CLVP(cfg.clvp)
+    ds = CLVPDataset(manifest)
+    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+    ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
+    b0 = ds.collate([ex])
+    params = model.init(jax.random.key(0), jnp.asarray(b0["text"]),
+                        jnp.asarray(b0["speech_tokens"]))
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_adamw(cfg.train.lr, cfg.train.warmup_steps))
+    step = jax.jit(functools.partial(clvp_train_step, model=model))
+    trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
+                      logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+                      cfg.train.save_freq, cfg.train.keep_ckpts,
+                      mesh=make_mesh(cfg.mesh))
+    trainer.maybe_resume()
+    return trainer.train()
+
+
+def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
+                    logs_folder: Optional[str] = None):
+    from ttts_tpu.diffusion.gaussian import GaussianDiffusion, get_named_beta_schedule
+    from ttts_tpu.models.diffusion_net import AA_diffusion
+    from ttts_tpu.models.gpt import UnifiedVoice
+
+    gpt_model = UnifiedVoice(cfg.gpt)
+    net = AA_diffusion(cfg.diffusion_net)
+    diffuser = GaussianDiffusion(
+        betas=get_named_beta_schedule(cfg.diffusion.noise_schedule,
+                                      cfg.diffusion.trained_timesteps)
+    )
+    ds = DiffusionDataset(manifest)
+    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+    ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
+    b0 = ds.collate([ex])
+    params = net.init(
+        jax.random.key(0), jnp.asarray(b0["mel"]), jnp.asarray([1.0]),
+        jnp.zeros((1, b0["mel_codes"].shape[1], cfg.gpt.model_dim)),
+        jnp.asarray(b0["mel_refer"]),
+    )
+    state = TrainState.create(apply_fn=net.apply, params=params,
+                              tx=make_adamw(cfg.train.lr, cfg.train.warmup_steps))
+    step = jax.jit(
+        functools.partial(
+            diffusion_train_step, model=net, diffuser=diffuser,
+            gpt_model=gpt_model, gpt_params=gpt_params,
+            unconditioned_percentage=cfg.train.unconditioned_percentage,
+        )
+    )
+    trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
+                      logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+                      cfg.train.save_freq, cfg.train.keep_ckpts,
+                      mesh=make_mesh(cfg.mesh))
+    trainer.maybe_resume()
+    return trainer.train()
+
+
+def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
+    """GAN trainer: two states threaded through one step function. Checkpoints
+    hold {'g': g_state, 'd': d_state} (the reference's G_/D_ pairs)."""
+    from ttts_tpu.models.discriminator import MultiPeriodDiscriminator
+    from ttts_tpu.models.vqvae import SynthesizerTrn
+    from ttts_tpu.ops.mel import vits_spectrogram
+
+    a = cfg.audio
+    spec_ch = a.filter_length // 2 + 1
+    gen = SynthesizerTrn(cfg.vqvae, spec_channels=spec_ch,
+                         segment_frames=cfg.train.segment_size // a.hop_length)
+    disc = MultiPeriodDiscriminator()
+    ds = VQGANDataset(manifest, sample_rate=a.sampling_rate, hop_length=a.hop_length)
+
+    def add_spec(batch):
+        if batch is None:
+            return None
+        wav = jnp.asarray(batch["wav"])  # (B, T, 1)
+        spec = vits_spectrogram(wav[..., 0], a.filter_length, a.hop_length,
+                                a.win_length).swapaxes(1, 2)
+        batch = dict(batch)
+        batch["spec"] = np.asarray(spec)
+        batch["spec_aug"] = batch["spec"]
+        batch["wav_aug"] = batch["wav"]
+        return batch
+
+    lengths = []
+    for r in ds.rows:
+        try:
+            from ttts_tpu.data.audio import load_wav
+
+            lengths.append(len(load_wav(r["path"])[0]))
+        except Exception:
+            lengths.append(0)
+
+    def make(epoch: int):
+        sampler = DistributedBucketSampler(
+            lengths, cfg.train.batch_size,
+            boundaries=[int(s * a.sampling_rate) for s in (0.65, 2, 4, 8, 16, 32, 54)],
+            seed=cfg.train.seed,
+        )
+        sampler.set_epoch(epoch)
+        return DataLoader(ds, list(sampler), lambda ex: add_spec(ds.collate(ex)))
+
+    data = EpochLoader(make)
+
+    it = iter(data)
+    b0 = next(it)
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "slice": jax.random.key(2), "vq": jax.random.key(3)}
+    g_vars = gen.init(rngs, jnp.asarray(b0["wav"]), jnp.asarray(b0["wav_aug"]),
+                      jnp.asarray(b0["spec"]), jnp.asarray(b0["spec_aug"]),
+                      jnp.asarray(b0["spec_lengths"]), jnp.asarray(b0["text"]),
+                      jnp.asarray(b0["text_lengths"]), train=True)
+    seg = jnp.zeros((1, cfg.train.segment_size, 1))
+    d_params = disc.init(jax.random.key(4), seg, seg)["params"]
+    g_state = TrainState.create(
+        apply_fn=gen.apply, params=g_vars["params"],
+        tx=make_gan_adam(cfg.train.lr, decay=cfg.train.lr_decay),
+        extra_vars={"codebook": g_vars["codebook"]},
+    )
+    d_state = TrainState.create(apply_fn=disc.apply, params=d_params,
+                                tx=make_gan_adam(cfg.train.lr, decay=cfg.train.lr_decay))
+
+    step = jax.jit(
+        functools.partial(vqvae_train_step, generator=gen, discriminator=disc,
+                          audio_cfg=a, c_mel=cfg.train.c_mel, c_kl=cfg.train.c_kl)
+    )
+
+    def paired_step(state, batch, key):
+        g, d = state["g"], state["d"]
+        g, d, metrics = step(g, d, batch, key)
+        return {"g": g, "d": d}, metrics
+
+    trainer = Trainer(paired_step, {"g": g_state, "d": d_state}, data,
+                      logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+                      cfg.train.save_freq, cfg.train.keep_ckpts,
+                      mesh=make_mesh(cfg.mesh))
+    trainer.maybe_resume()
+    return trainer.train()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model", choices=["gpt", "diffusion", "vqvae", "clvp"])
+    p.add_argument("--config", default=None)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--logs", default=None)
+    p.add_argument("--gpt-ckpt", default=None, help="frozen GPT checkpoint dir (diffusion)")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config) if args.config else default_config()
+    if args.model == "gpt":
+        train_gpt(cfg, args.manifest, args.logs)
+    elif args.model == "clvp":
+        train_clvp(cfg, args.manifest, args.logs)
+    elif args.model == "vqvae":
+        train_vqvae(cfg, args.manifest, args.logs)
+    elif args.model == "diffusion":
+        from ttts_tpu.train.checkpoints import CheckpointManager
+
+        assert args.gpt_ckpt, "--gpt-ckpt required"
+        _, tree = CheckpointManager(args.gpt_ckpt).restore()
+        gpt_params = tree["params"] if "params" in tree else tree
+        train_diffusion(cfg, args.manifest, {"params": gpt_params}, args.logs)
+
+
+if __name__ == "__main__":
+    main()

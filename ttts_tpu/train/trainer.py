@@ -1,0 +1,108 @@
+"""Generic training loop + per-model trainers.
+
+One `Trainer` replaces the five copy-pasted Accelerate loops of the reference
+(ttts/gpt/train.py:41-146, ttts/diffusion/train.py:78-263, ttts/clvp/train.py,
+ttts/classifier/train.py, and the mp.spawn GAN loop ttts/vqvae/train.py):
+cycle a host data iterator, run the jitted step, log scalars every
+`log_every`, rotate Orbax checkpoints keep-N every `save_freq`, auto-resume
+from the latest checkpoint on start (the failure-recovery story the reference
+left manual — SURVEY §5.3/5.4).
+
+Data parallelism: batches are device_put with a batch sharding over the mesh;
+the jitted step's gradient mean is the implicit XLA collective.
+"""
+
+from __future__ import annotations
+
+import itertools
+import pathlib
+import time
+from typing import Callable, Dict, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ttts_tpu.parallel import make_mesh, replicate, shard_batch
+from ttts_tpu.train.checkpoints import CheckpointManager
+from ttts_tpu.utils.logging import SummaryWriter, get_logger
+
+
+class Trainer:
+    """Drives (state, batch, key) -> (state, metrics) steps."""
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        state,
+        data_iter: Iterable,
+        logs_folder: str,
+        train_steps: int,
+        save_freq: int = 1000,
+        keep_ckpts: int = 3,
+        log_every: int = 100,
+        seed: int = 1234,
+        mesh=None,
+        eval_fn: Optional[Callable] = None,
+        eval_freq: Optional[int] = None,
+    ):
+        self.step_fn = step_fn
+        self.state = state
+        self.data_iter = data_iter
+        self.train_steps = train_steps
+        self.save_freq = save_freq
+        self.log_every = log_every
+        self.eval_fn = eval_fn
+        self.eval_freq = eval_freq or save_freq
+        self.mesh = mesh
+        self.logs_folder = pathlib.Path(logs_folder)
+        self.writer = SummaryWriter(self.logs_folder / "tb")
+        self.ckpt = CheckpointManager(self.logs_folder / "ckpt", keep=keep_ckpts)
+        self.logger = get_logger("trainer", str(self.logs_folder / "train.log"))
+        self.key = jax.random.key(seed)
+        self.step = 0
+
+    def maybe_resume(self):
+        """Auto-resume from the latest checkpoint (replaces the reference's
+        edit-__main__-to-load workflow, gpt/train.py:144)."""
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            _, self.state = self.ckpt.restore(latest, template=self.state)
+            self.step = latest
+            self.logger.info("resumed from step %d", latest)
+
+    def _put(self, batch: Dict[str, np.ndarray]):
+        if self.mesh is None:
+            return {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        return {
+            k: jax.device_put(v, shard_batch(self.mesh, np.ndim(v)))
+            for k, v in batch.items()
+        }
+
+    def train(self):
+        it = iter(self.data_iter)
+        t0 = time.perf_counter()
+        while self.step < self.train_steps:
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(self.data_iter)
+                batch = next(it)
+            if batch is None:  # empty collated batch — skip (gpt/train.py:101)
+                continue
+            self.key, sk = jax.random.split(self.key)
+            self.state, metrics = self.step_fn(self.state, self._put(batch), sk)
+            self.step += 1
+
+            if self.step % self.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                metrics["steps_per_sec"] = self.log_every / dt
+                self.writer.summarize(self.step, scalars=metrics)
+                self.logger.info("step %d %s", self.step, metrics)
+            if self.step % self.save_freq == 0:
+                self.ckpt.save(self.step, self.state)
+            if self.eval_fn is not None and self.step % self.eval_freq == 0:
+                self.eval_fn(self.step, self.state, self.writer)
+        self.ckpt.save(self.step, self.state)
+        return self.state
