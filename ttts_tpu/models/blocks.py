@@ -113,6 +113,21 @@ def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+class Snake(nn.Module):
+    """x + (1/α)·sin²(αx) (activations.Snake:9-60)."""
+
+    channels: int
+    alpha_logscale: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        if self.alpha_logscale:
+            alpha = jnp.exp(alpha)
+        return x + (1.0 / (alpha + 1e-9)) * jnp.sin(alpha * x) ** 2
+
+
 class SnakeBeta(nn.Module):
     """x + 1/(β+eps)·sin²(αx) with log-scale per-channel α, β
     (activations.SnakeBeta:62-120, alpha_logscale=True)."""

@@ -39,6 +39,16 @@ def generator_loss(disc_gen):
     return loss, gen_losses
 
 
+def mle_loss(z, m, logs, logdet, mask) -> jax.Array:
+    """Negative normal log-likelihood for flow training (losses.py:64-78)."""
+    import math
+
+    l = jnp.sum(logs) + 0.5 * jnp.sum(jnp.exp(-2 * logs) * ((z - m) ** 2))
+    l = l - jnp.sum(logdet)
+    l = l / jnp.sum(jnp.ones_like(z) * mask)
+    return l + 0.5 * math.log(2 * math.pi)
+
+
 def kl_loss(z_p, logs_q, m_p, logs_p, z_mask) -> jax.Array:
     """Masked VITS KL divergence (losses.py:46-61). All inputs (B, T, C),
     mask (B, T, 1)."""
