@@ -121,9 +121,25 @@ def _kmeans(key: jax.Array, samples: jax.Array, num_clusters: int, num_iters: in
     return means, counts
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _nearest(x: jax.Array, embed: jax.Array) -> jax.Array:
-    """argmin_j ‖x_i − e_j‖² → (N,) indices. x: (N, D), embed: (bins, D)."""
-    # one MXU matmul dominates; the norms fuse as epilogues
+    """argmin_j ‖x_i − e_j‖² → (N,) indices. x: (N, D), embed: (bins, D).
+
+    On TPU with a large enough problem this routes to the fused Pallas kernel
+    (ttts_tpu/ops/pallas/vq.py) that never spills the distance matrix to HBM;
+    otherwise one MXU matmul with fused norm epilogues."""
+    n, _ = x.shape
+    bins = embed.shape[0]
+    if _on_tpu() and n * bins >= (1 << 16):
+        from ttts_tpu.ops.pallas.vq import vq_nearest_pallas
+
+        return vq_nearest_pallas(x, embed).astype(jnp.int32)
     dist = (
         jnp.sum(x**2, axis=1, keepdims=True)
         - 2.0 * jnp.dot(x, embed.T, preferred_element_type=jnp.float32)
