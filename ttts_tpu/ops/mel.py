@@ -154,6 +154,51 @@ def vits_mel_spectrogram(
 
 
 # ---------------------------------------------------------------------------
+# Tortoise-v1 22.05 kHz / 80-mel path (ttts/utils/utils.py TorchMelSpectrogram
+# :387-425: torchaudio MelSpectrogram power=2, slaney norm, fmax 8000, then
+# log(clamp(.,1e-5)) and optional per-bin mel_norms division)
+# ---------------------------------------------------------------------------
+
+TACOTRON_MEL_MAX = 5.5451774444795624753378569716654
+TACOTRON_MEL_MIN = -16.118095650958319788125940182791
+
+
+def tacotron_mel_spectrogram(
+    audio: jax.Array,
+    sample_rate: int = 22050,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: float = 8000.0,
+    mel_norms: jax.Array | None = None,
+) -> jax.Array:
+    """(B, T) → (B, n_mels, frames), Tortoise-v1 conditioning mel."""
+    spec = stft(audio, n_fft, hop_length, win_length, center=True)
+    power = jnp.abs(spec) ** 2
+    basis = jnp.asarray(
+        mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax, scale="htk", norm="slaney")
+    )
+    mel = jnp.einsum("mf,...ft->...mt", basis, power)
+    mel = jnp.log(jnp.maximum(mel, 1e-5))
+    if mel_norms is not None:
+        mel = mel / mel_norms[None, :, None]
+    return mel
+
+
+def normalize_tacotron_mel_minmax(mel: jax.Array) -> jax.Array:
+    """Min-max [-1,1] normalization (diffusion_util.py:42-43 — the v1/unused
+    convention; the v2 path uses scale-only ×0.18215, see
+    models/diffusion_net.py normalize_tacotron_mel)."""
+    return 2.0 * ((mel - TACOTRON_MEL_MIN) / (TACOTRON_MEL_MAX - TACOTRON_MEL_MIN)) - 1.0
+
+
+def denormalize_tacotron_mel_minmax(norm_mel: jax.Array) -> jax.Array:
+    return ((norm_mel + 1.0) / 2.0) * (TACOTRON_MEL_MAX - TACOTRON_MEL_MIN) + TACOTRON_MEL_MIN
+
+
+# ---------------------------------------------------------------------------
 # Acoustic 24 kHz / 100-mel path (torchaudio semantics)
 # ---------------------------------------------------------------------------
 
