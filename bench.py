@@ -26,8 +26,10 @@ def main():
     from ttts_tpu.models.gpt import UnifiedVoice, inference_speech
     from ttts_tpu.models.sampling import SamplingParams
 
+    import jax.numpy as jnp
+
     cfg = GPTConfig()
-    model = UnifiedVoice(cfg)
+    model = UnifiedVoice(cfg, dtype=jnp.bfloat16)  # bf16 activations on MXU
 
     b, lt, lp, gen_len = 8, 64, 50, 200
     rng = np.random.default_rng(0)

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -47,11 +47,15 @@ class KVCache(NamedTuple):
 
 
 class GPT2Block(nn.Module):
-    """Pre-LN GPT-2 block (HF GPT2Block semantics: ln_1→attn→res, ln_2→mlp→res)."""
+    """Pre-LN GPT-2 block (HF GPT2Block semantics: ln_1→attn→res, ln_2→mlp→res).
+
+    `dtype` is the compute/activation dtype (bf16 on TPU for 4× MXU rate);
+    params stay f32 and the attention softmax runs in f32."""
 
     dim: int
     heads: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -64,7 +68,8 @@ class GPT2Block(nn.Module):
     ):
         d, h = self.dim, self.heads
         dk = d // h
-        dense02 = partial(nn.Dense, kernel_init=nn.initializers.normal(0.02))
+        dense02 = partial(nn.Dense, kernel_init=nn.initializers.normal(0.02),
+                          dtype=self.dtype)
         # scaled residual-projection init (GPT-2 scheme)
         proj_init = nn.initializers.normal(0.02)
 
@@ -92,7 +97,7 @@ class GPT2Block(nn.Module):
         if self.dropout > 0:
             p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
         attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
-        attn = nn.Dense(d, kernel_init=proj_init)(attn)
+        attn = nn.Dense(d, kernel_init=proj_init, dtype=self.dtype)(attn)
         if self.dropout > 0:
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = x + attn
@@ -100,7 +105,7 @@ class GPT2Block(nn.Module):
         hdn = nn.LayerNorm(epsilon=1e-5)(x)
         hdn = dense02(4 * d)(hdn)
         hdn = gelu_new(hdn)
-        hdn = nn.Dense(d, kernel_init=proj_init)(hdn)
+        hdn = nn.Dense(d, kernel_init=proj_init, dtype=self.dtype)(hdn)
         if self.dropout > 0:
             hdn = nn.Dropout(self.dropout)(hdn, deterministic=deterministic)
         return x + hdn, new_cache
@@ -111,17 +116,18 @@ class GPT2Stack(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
                  cache_index=None, deterministic: bool = True):
-        x = emb
+        x = emb.astype(self.dtype)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         new_k, new_v = [], []
         for i in range(self.layers):
             layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
-            x, nc = GPT2Block(self.dim, self.heads, self.dropout)(
+            x, nc = GPT2Block(self.dim, self.heads, self.dropout, self.dtype)(
                 x, attn_mask, layer_cache, cache_index, deterministic
             )
             if nc is not None:
@@ -138,6 +144,7 @@ def _causal_mask(t: int) -> jax.Array:
 class UnifiedVoice(nn.Module):
     cfg: GPTConfig
     mel_length_compression: int = 1024
+    dtype: Any = jnp.float32  # activation dtype; bf16 on TPU
 
     def setup(self):
         c = self.cfg
@@ -157,7 +164,7 @@ class UnifiedVoice(nn.Module):
             "mel_pos_embedding", nn.initializers.normal(0.02),
             (c.max_mel_tokens + 2, c.model_dim),
         )
-        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads)
+        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype)
         self.final_norm = nn.LayerNorm(epsilon=1e-5)
         self.text_head = nn.Dense(c.number_text_tokens + 1)
         self.mel_head = nn.Dense(c.number_mel_codes)
@@ -251,8 +258,8 @@ class UnifiedVoice(nn.Module):
         h_heads = c.heads
         dk = d // h_heads
         cache = KVCache(
-            k=jnp.zeros((c.layers, b, max_len, h_heads, dk), emb.dtype),
-            v=jnp.zeros((c.layers, b, max_len, h_heads, dk), emb.dtype),
+            k=jnp.zeros((c.layers, b, max_len, h_heads, dk), self.dtype),
+            v=jnp.zeros((c.layers, b, max_len, h_heads, dk), self.dtype),
         )
         # prefix attends causally within itself; cache beyond prefix is masked
         mask = jnp.tril(jnp.ones((p, p), bool))
