@@ -23,7 +23,11 @@ def main():
     import jax.numpy as jnp
 
     from ttts_tpu.config import GPTConfig
-    from ttts_tpu.models.gpt import UnifiedVoice, inference_speech
+    from ttts_tpu.models.gpt import (
+        UnifiedVoice,
+        cast_params_for_inference,
+        inference_speech,
+    )
     from ttts_tpu.models.sampling import SamplingParams
 
     import jax.numpy as jnp
@@ -39,6 +43,7 @@ def main():
     params = model.init(
         jax.random.key(0), text, jnp.full((b,), lt), dummy_codes, jnp.full((b,), 16 * 1024)
     )
+    params = cast_params_for_inference(params)
 
     run = jax.jit(
         lambda p, t, c, k: inference_speech(

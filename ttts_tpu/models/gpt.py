@@ -287,6 +287,22 @@ def _ce(logits, targets):
     return jnp.mean(nll)
 
 
+def cast_params_for_inference(params, dtype=jnp.bfloat16):
+    """Store matmul weights in bf16 to halve HBM reads during the
+    bandwidth-bound decode; LayerNorms and output heads stay f32."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    out = {}
+    for k, v in flat.items():
+        path = "/".join(k)
+        keep = ("LayerNorm" in path) or ("final_norm" in path) or ("head" in path)
+        out[k] = v if keep else v.astype(dtype)
+    new = dict(params)
+    new["params"] = flax.traverse_util.unflatten_dict(out)
+    return new
+
+
 # ---------------------------------------------------------------------------
 # jitted generation loop (replaces HF generate: model.py:533-562)
 # ---------------------------------------------------------------------------
