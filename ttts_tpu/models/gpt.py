@@ -112,11 +112,16 @@ class GPT2Block(nn.Module):
 
 
 class GPT2Stack(nn.Module):
+    """GPT-2 transformer body. Includes HF GPT2Model's trailing ln_f — the
+    reference consumes `last_hidden_state` (post-ln_f) and then applies its
+    own final_norm on top (model.py:424-429), so BOTH norms are in the path."""
+
     layers: int
     dim: int
     heads: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    use_ln_f: bool = True
 
     @nn.compact
     def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
@@ -133,6 +138,8 @@ class GPT2Stack(nn.Module):
             if nc is not None:
                 new_k.append(nc[0])
                 new_v.append(nc[1])
+        if self.use_ln_f:
+            x = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
         new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v)) if new_k else None
         return x, new_cache
 

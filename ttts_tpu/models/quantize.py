@@ -101,7 +101,7 @@ def _kmeans(key: jax.Array, samples: jax.Array, num_clusters: int, num_iters: in
     def step(_, means):
         dists = (
             jnp.sum(samples**2, -1, keepdims=True)
-            - 2.0 * samples @ means.T
+            - 2.0 * jnp.dot(samples, means.T, precision="float32")
             + jnp.sum(means**2, -1)[None, :]
         )
         buckets = jnp.argmin(dists, axis=-1)
@@ -114,7 +114,7 @@ def _kmeans(key: jax.Array, samples: jax.Array, num_clusters: int, num_iters: in
     # final assignment counts (init value for cluster_size)
     dists = (
         jnp.sum(samples**2, -1, keepdims=True)
-        - 2.0 * samples @ means.T
+        - 2.0 * jnp.dot(samples, means.T, precision="float32")
         + jnp.sum(means**2, -1)[None, :]
     )
     counts = jax.nn.one_hot(jnp.argmin(dists, -1), num_clusters, dtype=jnp.float32).sum(0)
@@ -142,7 +142,8 @@ def _nearest(x: jax.Array, embed: jax.Array) -> jax.Array:
         return vq_nearest_pallas(x, embed).astype(jnp.int32)
     dist = (
         jnp.sum(x**2, axis=1, keepdims=True)
-        - 2.0 * jnp.dot(x, embed.T, preferred_element_type=jnp.float32)
+        - 2.0 * jnp.dot(x, embed.T, preferred_element_type=jnp.float32,
+                precision="float32")
         + jnp.sum(embed**2, axis=1)[None, :]
     )
     return jnp.argmin(dist, axis=-1)

@@ -134,7 +134,7 @@ def spec_to_mel(
     basis = jnp.asarray(
         mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax, scale="slaney", norm="slaney")
     )
-    mel = jnp.einsum("mf,...ft->...mt", basis, spec)
+    mel = jnp.einsum("mf,...ft->...mt", basis, spec, precision="float32")
     return dynamic_range_compression(mel)
 
 
@@ -180,7 +180,7 @@ def tacotron_mel_spectrogram(
     basis = jnp.asarray(
         mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax, scale="htk", norm="slaney")
     )
-    mel = jnp.einsum("mf,...ft->...mt", basis, power)
+    mel = jnp.einsum("mf,...ft->...mt", basis, power, precision="float32")
     mel = jnp.log(jnp.maximum(mel, 1e-5))
     if mel_norms is not None:
         mel = mel / mel_norms[None, :, None]
@@ -234,5 +234,5 @@ def acoustic_mel_spectrogram(
     basis = jnp.asarray(
         mel_filterbank(sample_rate, n_fft, n_mels, 0.0, sample_rate / 2.0, scale="htk", norm=None)
     )
-    mel = jnp.einsum("mf,...ft->...mt", basis, mag)
+    mel = jnp.einsum("mf,...ft->...mt", basis, mag, precision="float32")
     return safe_log(mel)

@@ -39,7 +39,8 @@ def _vq_nn_kernel(x_ref, cb_ref, idx_ref, best_ref, besti_ref, *, tile_b: int):
     x = x_ref[:]  # (TN, D)
     cb = cb_ref[:]  # (TB, D)
     # squared distances; ‖x‖² is constant per row — drop it (argmin-invariant)
-    scores = -2.0 * jnp.dot(x, cb.T, preferred_element_type=jnp.float32)
+    scores = -2.0 * jnp.dot(x, cb.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     scores = scores + jnp.sum(cb * cb, axis=1)[None, :]
 
     row_min = jnp.min(scores, axis=1, keepdims=True)  # (TN, 1)
@@ -93,7 +94,8 @@ def vq_nearest_reference(x: jax.Array, codebook: jax.Array) -> jax.Array:
     """Plain XLA path (used on CPU and as the parity oracle)."""
     dist = (
         jnp.sum(x**2, axis=1, keepdims=True)
-        - 2.0 * jnp.dot(x, codebook.T, preferred_element_type=jnp.float32)
+        - 2.0 * jnp.dot(x, codebook.T, preferred_element_type=jnp.float32,
+                        precision="float32")
         + jnp.sum(codebook**2, axis=1)[None, :]
     )
     return jnp.argmin(dist, axis=-1).astype(jnp.int32)
