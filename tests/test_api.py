@@ -29,7 +29,8 @@ TINY = TTTSConfig(
     vqvae=VQVAEConfig(inter_channels=16, hidden_channels=16, filter_channels=32,
                       n_heads=2, n_layers=2, p_dropout=0.0,
                       upsample_initial_channel=32, gin_channels=16,
-                      codebook_bins=32),
+                      codebook_bins=32, posterior_wn_layers=2, flow_layers=1,
+                      flow_wn_layers=1),
     gpt=GPTConfig(model_dim=64, layers=1, heads=2, max_text_tokens=64,
                   max_mel_tokens=128, number_mel_codes=1026,
                   start_mel_token=1024, stop_mel_token=1025),

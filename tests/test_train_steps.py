@@ -115,7 +115,8 @@ class TestDiffusionStep:
 
 VQ_TINY = VQVAEConfig(inter_channels=16, hidden_channels=16, filter_channels=32,
                       n_heads=2, n_layers=2, p_dropout=0.0,
-                      upsample_initial_channel=32, gin_channels=16, codebook_bins=32)
+                      upsample_initial_channel=32, gin_channels=16, codebook_bins=32,
+                      posterior_wn_layers=2, flow_layers=1, flow_wn_layers=1)
 
 
 class TestVQVAEStep:

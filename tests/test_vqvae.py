@@ -21,6 +21,9 @@ TINY = VQVAEConfig(
     upsample_initial_channel=64,
     gin_channels=32,
     codebook_bins=64,
+    posterior_wn_layers=4,
+    flow_layers=2,
+    flow_wn_layers=2,
 )
 
 SPEC_CH = 129

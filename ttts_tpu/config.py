@@ -88,6 +88,9 @@ class VQVAEConfig:
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 8, 2, 2)
     n_layers_q: int = 3
+    posterior_wn_layers: int = 16  # WN depth in PosteriorAudioEncoder (vq2.py:831)
+    flow_layers: int = 4  # coupling layers (vq2.py:838)
+    flow_wn_layers: int = 4
     use_spectral_norm: bool = False
     gin_channels: int = 512
     semantic_frame_rate: str = "25hz"

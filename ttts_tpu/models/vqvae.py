@@ -328,11 +328,11 @@ class SynthesizerTrn(nn.Module):
         )
         self.enc_p = PosteriorAudioEncoder(
             self.spec_channels, c.inter_channels, c.hidden_channels,
-            5, 1, 16, gin_channels=c.gin_channels,
+            5, 1, c.posterior_wn_layers, gin_channels=c.gin_channels,
         )
         self.enc_q = PosteriorAudioEncoder(
             self.spec_channels, c.inter_channels, c.hidden_channels,
-            5, 1, 16, gin_channels=c.gin_channels,
+            5, 1, c.posterior_wn_layers, gin_channels=c.gin_channels,
         )
         self.enc_p_2 = TextEncoder(
             c.inter_channels, c.hidden_channels, c.filter_channels,
@@ -340,7 +340,8 @@ class SynthesizerTrn(nn.Module):
             n_text_tokens=c.n_text_tokens, mrte_hidden=c.gin_channels,
         )
         self.flow = ResidualCouplingBlock(
-            c.inter_channels, c.hidden_channels, 5, 1, 4, gin_channels=c.gin_channels
+            c.inter_channels, c.hidden_channels, 5, 1, c.flow_wn_layers,
+            n_flows=c.flow_layers, gin_channels=c.gin_channels,
         )
         self.dec = Generator(
             c.inter_channels,
