@@ -94,16 +94,18 @@ class TextToSpeech:
         wl = jnp.asarray([16 * 1024])
         rngs = {"params": key, "noise": key, "slice": key, "vq": key}
         params = {}
-        params["codec"] = self.codec.init(rngs, wav32, wav32, spec, spec, sl, text, tl,
-                                          train=False)
-        params["gpt"] = self.gpt.init(key, text, tl, codes, wl)
+        # jit the inits: eager init dispatches the whole graph op-by-op
+        params["codec"] = jax.jit(
+            functools.partial(self.codec.init, train=False)
+        )(rngs, wav32, wav32, spec, spec, sl, text, tl)
+        params["gpt"] = jax.jit(self.gpt.init)(key, text, tl, codes, wl)
         mel = jnp.zeros((1, 32, c.diffusion_net.in_channels))
         latent = jnp.zeros((1, 16, c.diffusion_net.in_latent_channels))
-        params["diffusion"] = self.diffusion_net.init(
+        params["diffusion"] = jax.jit(self.diffusion_net.init)(
             key, mel, jnp.asarray([1.0]), latent, mel
         )
-        params["vocos"] = self.vocos.init(key, mel)
-        params["clvp"] = self.clvp.init(key, text, codes)
+        params["vocos"] = jax.jit(self.vocos.init)(key, mel)
+        params["clvp"] = jax.jit(self.clvp.init)(key, text, codes)
         return params
 
     # ------------------------------------------------- conditioning (prompt)
@@ -120,13 +122,7 @@ class TextToSpeech:
         hop = c.audio.hop_length
         t = (wav32.shape[1] // hop) * hop
         wav32 = wav32[:, :t]
-        spec = vits_spectrogram(
-            wav32, c.audio.filter_length, hop, c.audio.win_length
-        ).swapaxes(1, 2)  # (1, F, spec_ch)
-        codes = self.codec.apply(
-            self.params["codec"], wav32[..., None], spec,
-            jnp.asarray([spec.shape[1]]), method=self.codec.extract_code,
-        )  # (1, n_q, F/2)
+        codes = self._extract_code_fn(self.params["codec"], wav32)  # (1, n_q, F/2)
         prompt_codes = codes[:, 0, :]
 
         wav24 = resample(wav, sample_rate, c.acoustic_mel.sample_rate)
@@ -142,6 +138,21 @@ class TextToSpeech:
     # ---------------------------------------------------------------- stages
     # jitted closures take params explicitly so weight updates don't bake into
     # the compiled programs; shape buckets bound recompilation.
+
+    @functools.cached_property
+    def _extract_code_fn(self):
+        c = self.cfg
+
+        def fn(params, wav32):
+            spec = vits_spectrogram(
+                wav32, c.audio.filter_length, c.audio.hop_length, c.audio.win_length
+            ).swapaxes(1, 2)
+            return self.codec.apply(
+                params, wav32[..., None], spec, jnp.asarray([spec.shape[1]]),
+                method=self.codec.extract_code,
+            )
+
+        return jax.jit(fn)
 
     @functools.cached_property
     def _gpt_sample_fn(self):
