@@ -430,6 +430,50 @@ class TransformerEncoder(nn.Module):
         return x * x_mask
 
 
+class TransformerDecoder(nn.Module):
+    """Causal self-attention + cross-attention decoder
+    (attentions.Decoder:91-176): per layer, causal self-attn (proximal-bias
+    free) → LN → cross-attn to the encoder memory → LN → causal conv FFN → LN.
+    """
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, x_mask, h, h_mask, deterministic=True):
+        t = x.shape[1]
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        self_mask = causal & (
+            (x_mask[:, None, :, 0][:, :, None, :] * x_mask[:, None, :, 0][:, :, :, None]) > 0
+        )
+        cross_mask = (
+            x_mask[:, None, :, 0][:, :, :, None] * h_mask[:, None, :, 0][:, :, None, :]
+        )
+        x = x * x_mask
+        for _ in range(self.n_layers):
+            y = RelPosMultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout,
+            )(x, x, self_mask, deterministic=deterministic)
+            x = nn.LayerNorm()(x + y)
+            y = RelPosMultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout,
+            )(x, h, cross_mask, deterministic=deterministic)
+            x = nn.LayerNorm()(x + y)
+            # causal conv FFN (attentions.FFN causal padding)
+            pad = self.kernel_size - 1
+            y = Conv1d(self.filter_channels, self.kernel_size, padding=(pad, 0))(x * x_mask)
+            y = jax.nn.relu(y)
+            y = Conv1d(self.hidden_channels, self.kernel_size, padding=(pad, 0))(y * x_mask)
+            x = nn.LayerNorm()(x + y * x_mask)
+        return x * x_mask
+
+
 # ---------------------------------------------------------------------------
 # Style encoder (modules.MelStyleEncoder:686-766)
 # ---------------------------------------------------------------------------
