@@ -270,16 +270,20 @@ class TextToSpeech:
         arr = np.asarray(best_codes[0])
         stops = np.where(arr == stop)[0]
         code_len = int(stops[0]) if len(stops) else arr.shape[0]
-        # replace trailing stop tokens with zeros for latent computation
-        clean = np.where(np.arange(arr.shape[0]) < code_len, arr, 0)
+        code_len = max(code_len, 1)
+        # bucket the code length (bounds jit recompiles to ~max_gen/32 shapes
+        # and keeps padded latent pollution ≤ one bucket)
+        bucket = min(_round_up(code_len, 32), arr.shape[0])
+        clean = np.where(np.arange(arr.shape[0]) < code_len, arr, 0)[:bucket]
         best_codes = jnp.asarray(clean)[None]
 
         latent = self._gpt_latent(text_ids, best_codes, jnp.asarray([code_len]))
-        out_len = _round_up(code_len * 4, 4)
-        latent = latent[:, : best_codes.shape[1]]
+        out_len = bucket * 4
         mel = self._diffusion_decode(
             latent, refer_mel, k2, opts["diffusion_iterations"], int(out_len),
             guidance_scale=self.cfg.diffusion.cond_free_k,
         )
         wav = self._vocode(mel)
-        return np.asarray(wav[0])
+        # trim padding: exact audio = code_len × 4 mel frames × hop samples
+        exact = code_len * 4 * self.cfg.vocos.hop_length
+        return np.asarray(wav[0])[:exact]
