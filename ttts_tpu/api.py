@@ -59,17 +59,20 @@ class TextToSpeech:
     """Resident-model serving orchestrator."""
 
     def __init__(self, cfg: Optional[TTTSConfig] = None, params: Optional[Dict] = None,
-                 seed: int = 0):
+                 seed: int = 0, use_bf16: Optional[bool] = None):
         self.cfg = cfg or default_config()
         self.tok = default_tokenizer()
         c = self.cfg
+        if use_bf16 is None:
+            use_bf16 = jax.default_backend() not in ("cpu",)
+        act_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
-        self.gpt = UnifiedVoice(c.gpt)
+        self.gpt = UnifiedVoice(c.gpt, dtype=act_dtype)
         self.codec = SynthesizerTrn(
             c.vqvae, spec_channels=c.audio.filter_length // 2 + 1,
             segment_frames=c.train.segment_size // c.audio.hop_length,
         )
-        self.diffusion_net = AA_diffusion(c.diffusion_net)
+        self.diffusion_net = AA_diffusion(c.diffusion_net, dtype=act_dtype)
         self.vocos = Vocos(c.vocos)
         self.clvp = CLVP(c.clvp)
         self.params = params if params is not None else self._random_init(seed)

@@ -23,7 +23,7 @@ All tensors channels-last: x (B, T, C).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -114,13 +114,14 @@ class AttentionBlock(nn.Module):
     channels: int
     num_heads: int = 1
     relative_pos_embeddings: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, t, c = x.shape
         h = self.num_heads
         dk = c // h
-        qkv = nn.Dense(3 * c)(GroupNorm32(c)(x))
+        qkv = nn.Dense(3 * c, dtype=self.dtype)(GroupNorm32(c)(x))
         # legacy layout: per head, [q;k;v] channels (utils.py:155)
         qkv = qkv.reshape(b, t, h, 3 * dk)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -130,7 +131,7 @@ class AttentionBlock(nn.Module):
             w = RelativePositionBias(heads=h, scale=dk**0.5)(w)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
         a = jnp.einsum("bhts,bshd->bthd", w, v).reshape(b, t, c)
-        a = nn.Dense(c, kernel_init=nn.initializers.zeros)(a)
+        a = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype)(a)
         return x + a
 
 
@@ -143,21 +144,22 @@ class ScaleShiftResBlock(nn.Module):
     out_channels: Optional[int] = None
     dropout: float = 0.0
     kernel_size: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, deterministic=True):
         out_ch = self.out_channels or self.channels
         h = GroupNorm32(self.channels)(x)
         h = jax.nn.silu(h)
-        h = nn.Dense(out_ch)(h)  # efficient_config: 1×1 conv
+        h = nn.Dense(out_ch, dtype=self.dtype)(h)  # efficient_config: 1×1 conv
         e = nn.Dense(2 * out_ch)(jax.nn.silu(emb))  # (B, 2C)
         scale, shift = jnp.split(e[:, None, :], 2, axis=-1)
         h = GroupNorm32(out_ch)(h) * (1 + scale) + shift
         h = jax.nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(out_ch, (self.kernel_size,), padding="SAME")(h)
-        skip = x if out_ch == self.channels else nn.Dense(out_ch)(x)
+        h = nn.Conv(out_ch, (self.kernel_size,), padding="SAME", dtype=self.dtype)(h)
+        skip = x if out_ch == self.channels else nn.Dense(out_ch, dtype=self.dtype)(x)
         return skip + h
 
 
@@ -167,13 +169,15 @@ class DiffusionLayer(nn.Module):
     channels: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, time_emb, deterministic=True):
-        y = ScaleShiftResBlock(self.channels, self.channels, self.channels, self.dropout)(
+        y = ScaleShiftResBlock(self.channels, self.channels, self.channels,
+                               self.dropout, dtype=self.dtype)(
             x, time_emb, deterministic
         )
-        return AttentionBlock(self.channels, self.num_heads)(y)
+        return AttentionBlock(self.channels, self.num_heads, dtype=self.dtype)(y)
 
 
 class RefEncoder(nn.Module):
@@ -213,6 +217,7 @@ class RefEncoder(nn.Module):
 
 class AA_diffusion(nn.Module):
     cfg: DiffusionNetConfig
+    dtype: Any = jnp.float32  # trunk activation dtype; bf16 on TPU inference
 
     def setup(self):
         c = self.cfg
@@ -230,14 +235,19 @@ class AA_diffusion(nn.Module):
             "unconditioned_embedding", nn.initializers.normal(1.0), (1, 1, ch)
         )
         self.conditioning_timestep_integrator = [
-            DiffusionLayer(ch, c.num_heads, c.dropout) for _ in range(3)
+            DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype)
+            for _ in range(3)
         ]
         self.refer_conv = nn.Conv(ch, (3,), padding="SAME")
         self.refer_attn = [AttentionBlock(ch, c.num_heads) for _ in range(3)]
         self.refer_pool = RefEncoder(ch)
         self.integrating_conv = nn.Dense(ch)
-        self.layers = [DiffusionLayer(ch, c.num_heads, c.dropout) for _ in range(c.num_layers)] + [
-            ScaleShiftResBlock(ch, ch, ch, c.dropout) for _ in range(3)
+        self.layers = [
+            DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype)
+            for _ in range(c.num_layers)
+        ] + [
+            ScaleShiftResBlock(ch, ch, ch, c.dropout, dtype=self.dtype)
+            for _ in range(3)
         ]
         self.out_norm = GroupNorm32(ch)
         self.out_conv = nn.Conv(c.out_channels, (3,), padding="SAME")
