@@ -122,6 +122,7 @@ class GPT2Stack(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     use_ln_f: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
@@ -129,10 +130,15 @@ class GPT2Stack(nn.Module):
         x = emb.astype(self.dtype)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        block_cls = GPT2Block
+        if self.remat and cache is None:
+            # rematerialize block activations in the backward pass
+            # (the reference's gradient_checkpointing flag, model.py:252)
+            block_cls = nn.remat(GPT2Block, static_argnums=(5,))
         new_k, new_v = [], []
         for i in range(self.layers):
             layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
-            x, nc = GPT2Block(self.dim, self.heads, self.dropout, self.dtype)(
+            x, nc = block_cls(self.dim, self.heads, self.dropout, self.dtype)(
                 x, attn_mask, layer_cache, cache_index, deterministic
             )
             if nc is not None:
@@ -171,7 +177,8 @@ class UnifiedVoice(nn.Module):
             "mel_pos_embedding", nn.initializers.normal(0.02),
             (c.max_mel_tokens + 2, c.model_dim),
         )
-        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype)
+        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype,
+                             remat=c.checkpointing)
         self.final_norm = nn.LayerNorm(epsilon=1e-5)
         self.text_head = nn.Dense(c.number_text_tokens + 1)
         self.mel_head = nn.Dense(c.number_mel_codes)
