@@ -240,6 +240,42 @@ class TextToSpeech:
     def _vocode(self, mel):
         return self._vocode_fn(self.params["vocos"], mel)
 
+    @functools.cached_property
+    def _tail_fn(self):
+        """latent → diffusion → vocoder in ONE jit program (a remote dispatch
+        costs ~60-90 ms through the chip tunnel; fusing the tail removes two
+        round-trips per utterance)."""
+
+        def fn(gpt_params, diff_params, vocos_params, text_ids, codes, code_len,
+               refer_mel, key, steps, out_len, guidance_scale):
+            latent = self.gpt.apply(
+                gpt_params, text_ids, jnp.asarray([text_ids.shape[1]]),
+                codes, code_len * 1024, return_latent=True,
+            )
+            refer = normalize_tacotron_mel(refer_mel)
+            cond = self.diffusion_net.apply(
+                diff_params, latent, refer, out_len,
+                method=self.diffusion_net.timestep_independent,
+            )
+            uncond_emb = diff_params["params"]["unconditioned_embedding"]
+            uncond = jnp.tile(uncond_emb, (latent.shape[0], out_len, 1))
+
+            def trunk(x2, t2, emb2):
+                return self.diffusion_net.apply(
+                    diff_params, x2, t2, emb2, method=self.diffusion_net.trunk
+                )
+
+            eps_fn = cfg_eps_fn(trunk, cond, uncond, guidance_scale)
+            noise = jax.random.normal(
+                key, (latent.shape[0], out_len, self.cfg.diffusion_net.in_channels)
+            )
+            mel = denormalize_tacotron_mel(
+                dpm_solver_pp_2m_sample(eps_fn, noise, steps=steps)
+            )
+            return self.vocos.apply(vocos_params, mel)
+
+        return jax.jit(fn, static_argnames=("steps", "out_len"))
+
     # ------------------------------------------------------------------- tts
 
     def tts(self, text: str, voice_wav: np.ndarray, voice_sample_rate: int,
@@ -280,13 +316,13 @@ class TextToSpeech:
         clean = np.where(np.arange(arr.shape[0]) < code_len, arr, 0)[:bucket]
         best_codes = jnp.asarray(clean)[None]
 
-        latent = self._gpt_latent(text_ids, best_codes, jnp.asarray([code_len]))
         out_len = bucket * 4
-        mel = self._diffusion_decode(
-            latent, refer_mel, k2, opts["diffusion_iterations"], int(out_len),
-            guidance_scale=self.cfg.diffusion.cond_free_k,
+        wav = self._tail_fn(
+            self.params["gpt"], self.params["diffusion"], self.params["vocos"],
+            text_ids, best_codes, jnp.asarray([code_len]), refer_mel, k2,
+            opts["diffusion_iterations"], int(out_len),
+            self.cfg.diffusion.cond_free_k,
         )
-        wav = self._vocode(mel)
         # trim padding: exact audio = code_len × 4 mel frames × hop samples
         exact = code_len * 4 * self.cfg.vocos.hop_length
         return np.asarray(wav[0])[:exact]
