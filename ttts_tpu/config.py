@@ -230,6 +230,17 @@ class TrainConfig:
     segment_size: int = 20480
     lr_decay: float = 0.999875
     epochs: int = 100
+    # NANSY augmentation (vqvae/config.json train block)
+    formant_shift: float = 1.4
+    pitch_shift: float = 2.0
+    pitch_range: float = 1.5
+    cutoff_lowpass: float = 60.0
+    cutoff_highpass: float = 10000.0
+    q_min: float = 2.0
+    q_max: float = 5.0
+    num_peak: int = 8
+    g_min: float = -12.0
+    g_max: float = 12.0
     # diffusion
     unconditioned_percentage: float = 0.1
     timesteps: int = 1000

@@ -170,18 +170,6 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
     disc = MultiPeriodDiscriminator()
     ds = VQGANDataset(manifest, sample_rate=a.sampling_rate, hop_length=a.hop_length)
 
-    def add_spec(batch):
-        if batch is None:
-            return None
-        wav = jnp.asarray(batch["wav"])  # (B, T, 1)
-        spec = vits_spectrogram(wav[..., 0], a.filter_length, a.hop_length,
-                                a.win_length).swapaxes(1, 2)
-        batch = dict(batch)
-        batch["spec"] = np.asarray(spec)
-        batch["spec_aug"] = batch["spec"]
-        batch["wav_aug"] = batch["wav"]
-        return batch
-
     lengths = []
     for r in ds.rows:
         try:
@@ -198,18 +186,21 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
             seed=cfg.train.seed,
         )
         sampler.set_epoch(epoch)
-        return DataLoader(ds, list(sampler), lambda ex: add_spec(ds.collate(ex)))
+        return DataLoader(ds, list(sampler), ds.collate)
 
     data = EpochLoader(make)
 
     it = iter(data)
     b0 = next(it)
+    from ttts_tpu.ops.mel import vits_spectrogram as _vs
+    spec0 = _vs(jnp.asarray(b0["wav"])[..., 0], a.filter_length, a.hop_length,
+                a.win_length).swapaxes(1, 2)
     rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
             "slice": jax.random.key(2), "vq": jax.random.key(3)}
-    g_vars = gen.init(rngs, jnp.asarray(b0["wav"]), jnp.asarray(b0["wav_aug"]),
-                      jnp.asarray(b0["spec"]), jnp.asarray(b0["spec_aug"]),
-                      jnp.asarray(b0["spec_lengths"]), jnp.asarray(b0["text"]),
-                      jnp.asarray(b0["text_lengths"]), train=True)
+    g_vars = jax.jit(functools.partial(gen.init, train=True))(
+        rngs, jnp.asarray(b0["wav"]), jnp.asarray(b0["wav"]),
+        spec0, spec0, jnp.asarray(b0["spec_lengths"]), jnp.asarray(b0["text"]),
+        jnp.asarray(b0["text_lengths"]))
     seg = jnp.zeros((1, cfg.train.segment_size, 1))
     d_params = disc.init(jax.random.key(4), seg, seg)["params"]
     g_state = TrainState.create(
@@ -220,9 +211,20 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
     d_state = TrainState.create(apply_fn=disc.apply, params=d_params,
                                 tx=make_gan_adam(cfg.train.lr, decay=cfg.train.lr_decay))
 
+    from ttts_tpu.data.augment import AugmentConfig
+
+    aug_cfg = AugmentConfig(
+        sampling_rate=a.sampling_rate, win_length=a.win_length,
+        hop_length=a.hop_length,
+        formant_shift=cfg.train.formant_shift, pitch_shift=cfg.train.pitch_shift,
+        pitch_range=cfg.train.pitch_range, q_min=cfg.train.q_min,
+        q_max=cfg.train.q_max, num_peak=cfg.train.num_peak,
+        g_min=cfg.train.g_min, g_max=cfg.train.g_max,
+    )
     step = jax.jit(
         functools.partial(vqvae_train_step, generator=gen, discriminator=disc,
-                          audio_cfg=a, c_mel=cfg.train.c_mel, c_kl=cfg.train.c_kl)
+                          audio_cfg=a, c_mel=cfg.train.c_mel, c_kl=cfg.train.c_kl,
+                          augment_cfg=aug_cfg)
     )
 
     def paired_step(state, batch, key):

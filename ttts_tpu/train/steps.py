@@ -123,15 +123,43 @@ def vqvae_train_step(
     audio_cfg,
     c_mel: float = 45.0,
     c_kl: float = 1.0,
+    augment_cfg=None,
 ):
     """One alternating D/G step (vqvae/train.py:313-406).
 
-    batch: wav (B,T,1), wav_aug (B,T,1), spec (B,F,C), spec_aug, spec_lengths,
-    text, text_lengths. The generator's codebook lives in
-    g_state.extra_vars['codebook'] and is threaded through."""
-    k_noise, k_slice, k_vq, k_drop = jax.random.split(key, 4)
+    batch: wav (B,T,1), spec_lengths, text, text_lengths (+ optionally
+    precomputed wav_aug/spec/spec_aug). The linear spectrograms — and, when
+    `augment_cfg` is given, the NANSY parametric-EQ perturbation
+    (vqvae/train.py:338) — are computed INSIDE this jit program: on-the-fly
+    DSP rides the same compiled step instead of eager host dispatches. The
+    generator's codebook lives in g_state.extra_vars['codebook']."""
+    k_noise, k_slice, k_vq, k_drop, k_aug = jax.random.split(key, 5)
     hop = audio_cfg.hop_length
     seg_frames = generator.segment_frames
+
+    a = audio_cfg
+    from ttts_tpu.ops.mel import vits_spectrogram
+
+    def spec_of(wav):
+        return vits_spectrogram(
+            wav[..., 0], a.filter_length, a.hop_length, a.win_length
+        ).swapaxes(1, 2)
+
+    batch = dict(batch)
+    if "wav_aug" not in batch:
+        if augment_cfg is not None:
+            from ttts_tpu.data.augment import apply_peq, sample_params
+
+            p = sample_params(k_aug, batch["wav"].shape[0], augment_cfg)
+            batch["wav_aug"] = apply_peq(
+                batch["wav"][..., 0], p["quality_power"], p["gain"], augment_cfg
+            )[..., None]
+        else:
+            batch["wav_aug"] = batch["wav"]
+    if "spec" not in batch:
+        batch["spec"] = spec_of(batch["wav"])
+    if "spec_aug" not in batch:
+        batch["spec_aug"] = spec_of(batch["wav_aug"])
 
     def run_gen(params, extra):
         outs, mut = generator.apply(
