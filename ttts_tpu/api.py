@@ -209,9 +209,14 @@ class TextToSpeech:
             uncond_emb = params["params"]["unconditioned_embedding"]
             uncond = jnp.tile(uncond_emb, (latent.shape[0], out_len, 1))
 
+            biases = self.diffusion_net.apply(
+                params, out_len, method=self.diffusion_net.rel_biases
+            )
+
             def trunk(x2, t2, emb2):
                 return self.diffusion_net.apply(
-                    params, x2, t2, emb2, method=self.diffusion_net.trunk
+                    params, x2, t2, emb2, rel_biases=biases,
+                    method=self.diffusion_net.trunk,
                 )
 
             eps_fn = cfg_eps_fn(trunk, cond, uncond, guidance_scale)
@@ -260,9 +265,16 @@ class TextToSpeech:
             uncond_emb = diff_params["params"]["unconditioned_embedding"]
             uncond = jnp.tile(uncond_emb, (latent.shape[0], out_len, 1))
 
+            # rel-pos biases hoisted out of the sampling scan (≈10× step cost
+            # if recomputed per step)
+            biases = self.diffusion_net.apply(
+                diff_params, out_len, method=self.diffusion_net.rel_biases
+            )
+
             def trunk(x2, t2, emb2):
                 return self.diffusion_net.apply(
-                    diff_params, x2, t2, emb2, method=self.diffusion_net.trunk
+                    diff_params, x2, t2, emb2, rel_biases=biases,
+                    method=self.diffusion_net.trunk,
                 )
 
             eps_fn = cfg_eps_fn(trunk, cond, uncond, guidance_scale)

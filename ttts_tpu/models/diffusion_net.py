@@ -92,46 +92,87 @@ def _t5_bucket(rel_pos: np.ndarray, num_buckets: int = 32, max_distance: int = 6
 
 
 class RelativePositionBias(nn.Module):
+    """T5-bucket relative position bias. The bias matrix is Toeplitz
+    (depends only on j−i), so we gather only the (2T−1,) diagonal values and
+    materialize the square with the VITS skew reshape. For sampling scans the
+    bias should be computed ONCE outside the scan via `bias()` and passed
+    through the closure — recomputing (T, T)-shaped bias inside a scan body
+    costs ~10× the attention itself on TPU."""
+
     heads: int
     num_buckets: int = 32
     max_distance: int = 64
     scale: float = 1.0
 
-    @nn.compact
+    def setup(self):
+        self.table = nn.Embed(self.num_buckets, self.heads)
+
+    def bias(self, i: int, j: int) -> jax.Array:
+        from ttts_tpu.models.blocks import _rel_to_abs
+
+        if i == j:
+            rel_1d = np.arange(-(i - 1), i)  # j - i along diagonals
+            buckets = jnp.asarray(
+                _t5_bucket(rel_1d, self.num_buckets, self.max_distance)
+            )
+            vals = self.table(buckets)  # (2T-1, H)
+            rel = jnp.broadcast_to(
+                jnp.transpose(vals, (1, 0))[None, :, None, :],
+                (1, self.heads, i, 2 * i - 1),
+            )
+            out = _rel_to_abs(rel)  # (1, H, T, T)
+        else:  # cross-shaped scores: direct 2D gather
+            rel = np.arange(j)[None, :] - np.arange(i)[:, None]
+            buckets = jnp.asarray(_t5_bucket(rel, self.num_buckets, self.max_distance))
+            out = jnp.transpose(self.table(buckets), (2, 0, 1))[None]
+        return out * self.scale
+
     def __call__(self, qk_dots):
         i, j = qk_dots.shape[-2:]
-        rel = np.arange(j)[None, :] - np.arange(i)[:, None]
-        buckets = jnp.asarray(_t5_bucket(rel, self.num_buckets, self.max_distance))
-        table = nn.Embed(self.num_buckets, self.heads)(buckets)  # (i, j, h)
-        bias = jnp.transpose(table, (2, 0, 1))[None]
-        return qk_dots + bias * self.scale
+        return qk_dots + self.bias(i, j)
 
 
 class AttentionBlock(nn.Module):
     """GroupNorm → fused qkv 1×1 → MHA with rel-pos bias → zero-init proj →
-    residual (utils.AttentionBlock:172-215)."""
+    residual (utils.AttentionBlock:172-215).
+
+    Pass a precomputed `rel_bias` (from `.rel_bias(t)`) when calling inside a
+    sampling scan; otherwise the bias is computed inline."""
 
     channels: int
     num_heads: int = 1
     relative_pos_embeddings: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
+        c = self.channels
+        self.norm = GroupNorm32(c)
+        self.qkv = nn.Dense(3 * c, dtype=self.dtype)
+        self.proj = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype)
+        if self.relative_pos_embeddings:
+            dk = c // self.num_heads
+            self.relpos = RelativePositionBias(heads=self.num_heads, scale=dk**0.5)
+
+    def rel_bias(self, t: int):
+        return self.relpos.bias(t, t) if self.relative_pos_embeddings else None
+
+    def __call__(self, x, rel_bias=None):
         b, t, c = x.shape
         h = self.num_heads
         dk = c // h
-        qkv = nn.Dense(3 * c, dtype=self.dtype)(GroupNorm32(c)(x))
+        qkv = self.qkv(self.norm(x))
         # legacy layout: per head, [q;k;v] channels (utils.py:155)
         qkv = qkv.reshape(b, t, h, 3 * dk)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1.0 / math.sqrt(math.sqrt(dk))
         w = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
         if self.relative_pos_embeddings:
-            w = RelativePositionBias(heads=h, scale=dk**0.5)(w)
+            if rel_bias is None:
+                rel_bias = self.relpos.bias(t, t)
+            w = w + rel_bias.astype(w.dtype)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
         a = jnp.einsum("bhts,bshd->bthd", w, v).reshape(b, t, c)
-        a = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype)(a)
+        a = self.proj(a)
         return x + a
 
 
@@ -171,13 +212,15 @@ class DiffusionLayer(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, time_emb, deterministic=True):
-        y = ScaleShiftResBlock(self.channels, self.channels, self.channels,
-                               self.dropout, dtype=self.dtype)(
-            x, time_emb, deterministic
-        )
-        return AttentionBlock(self.channels, self.num_heads, dtype=self.dtype)(y)
+    def setup(self):
+        self.resblk = ScaleShiftResBlock(self.channels, self.channels,
+                                         self.channels, self.dropout,
+                                         dtype=self.dtype)
+        self.attn = AttentionBlock(self.channels, self.num_heads, dtype=self.dtype)
+
+    def __call__(self, x, time_emb, deterministic=True, rel_bias=None):
+        y = self.resblk(x, time_emb, deterministic)
+        return self.attn(y, rel_bias=rel_bias)
 
 
 class RefEncoder(nn.Module):
@@ -278,20 +321,37 @@ class AA_diffusion(nn.Module):
             latent_emb = jnp.where(drop, self.unconditioned_embedding, latent_emb)
         return _nearest_interp(latent_emb, expected_seq_len)
 
-    def trunk(self, x, timesteps, cond_emb, train: bool = False, layerdrop_key=None):
+    def rel_biases(self, t_len: int):
+        """Per-attention rel-pos bias tensors at sequence length t_len.
+        Compute ONCE before a sampling scan and pass to trunk(rel_biases=...)
+        — inside-scan recomputation costs ~10× the attention itself."""
+        biases = [m.attn.rel_bias(t_len) for m in self.conditioning_timestep_integrator]
+        for lyr in self.layers:
+            if isinstance(lyr, DiffusionLayer):
+                biases.append(lyr.attn.rel_bias(t_len))
+        return biases
+
+    def trunk(self, x, timesteps, cond_emb, train: bool = False, layerdrop_key=None,
+              rel_biases=None):
         """Noisy mel (B, T, in_channels) + conditioning (B, T, ch) → (B, T, out)."""
         c = self.cfg
         t_emb = timestep_embedding(timesteps, c.model_channels)
         t_emb = self.time_embed[1](jax.nn.silu(self.time_embed[0](t_emb)))
 
+        bi = iter(rel_biases) if rel_biases is not None else None
         h = cond_emb
         for m in self.conditioning_timestep_integrator:
-            h = m(h, t_emb, deterministic=not train)
+            h = m(h, t_emb, deterministic=not train,
+                  rel_bias=next(bi) if bi else None)
         x = self.inp_block(x)
         x = self.integrating_conv(jnp.concatenate([x, h], axis=-1))
         n = len(self.layers)
         for i, lyr in enumerate(self.layers):
-            y = lyr(x, t_emb, deterministic=not train)
+            if isinstance(lyr, DiffusionLayer):
+                y = lyr(x, t_emb, deterministic=not train,
+                        rel_bias=next(bi) if bi else None)
+            else:
+                y = lyr(x, t_emb, deterministic=not train)
             if train and self.cfg.layer_drop > 0 and layerdrop_key is not None and 0 < i < n - 1:
                 keep = jax.random.bernoulli(
                     jax.random.fold_in(layerdrop_key, i), 1.0 - self.cfg.layer_drop

@@ -51,8 +51,11 @@ def make_diffusion_eval_fn(
         uncond_emb = params["params"]["unconditioned_embedding"]
         uncond = jnp.tile(uncond_emb, (1, out_len, 1))
 
+        biases = net.apply(params, out_len, method=net.rel_biases)
+
         def trunk(x2, t2, emb2):
-            return net.apply(params, x2, t2, emb2, method=net.trunk)
+            return net.apply(params, x2, t2, emb2, rel_biases=biases,
+                             method=net.trunk)
 
         eps_fn = cfg_eps_fn(trunk, cond, uncond, guidance_scale)
         noise = jax.random.normal(jax.random.key(step), (1, out_len, batch["mel"].shape[-1]))
