@@ -177,8 +177,9 @@ class TextToSpeech:
     @functools.cached_property
     def _clvp_rank_fn(self):
         def fn(params, text_ids, codes):
-            text_b = jnp.tile(text_ids, (codes.shape[0], 1))
-            return self.clvp.apply(params, text_b, codes)
+            if text_ids.shape[0] != codes.shape[0]:
+                text_ids = jnp.tile(text_ids, (codes.shape[0], 1))
+            return self.clvp.apply(params, text_ids, codes)
 
         return jax.jit(fn)
 
@@ -253,8 +254,9 @@ class TextToSpeech:
 
         def fn(gpt_params, diff_params, vocos_params, text_ids, codes, code_len,
                refer_mel, key, steps, out_len, guidance_scale):
+            b = text_ids.shape[0]
             latent = self.gpt.apply(
-                gpt_params, text_ids, jnp.asarray([text_ids.shape[1]]),
+                gpt_params, text_ids, jnp.full((b,), text_ids.shape[1]),
                 codes, code_len * 1024, return_latent=True,
             )
             refer = normalize_tacotron_mel(refer_mel)
@@ -338,3 +340,64 @@ class TextToSpeech:
         # trim padding: exact audio = code_len × 4 mel frames × hop samples
         exact = code_len * 4 * self.cfg.vocos.hop_length
         return np.asarray(wav[0])[:exact]
+
+    def tts_batch(self, texts, voice_wav: np.ndarray, voice_sample_rate: int,
+                  preset: str = "fast", max_generate_length: int = 400,
+                  seed: int = 0, voice_cache_key: Optional[str] = None):
+        """Batched streams: synthesize several texts against one voice in one
+        GPT batch and one diffusion/vocoder batch (BASELINE config 5,
+        'batched streams'). Returns a list of 24 kHz waveforms."""
+        opts = PRESETS[preset]
+        k = opts["num_autoregressive_samples"]
+        n = len(texts)
+        key = jax.random.key(seed)
+        k1, k2 = jax.random.split(key)
+
+        all_ids = [np.asarray(self.tok.encode(text_to_pinyin(t)), np.int32)
+                   for t in texts]
+        lt = _round_up(max(len(i) for i in all_ids), 16)
+        text_ids = jnp.asarray(
+            np.stack([np.pad(i, (0, lt - len(i))) for i in all_ids])
+        )  # (N, lt)
+
+        prompt_codes, refer_mel = self.get_conditioning(
+            voice_wav, voice_sample_rate, voice_cache_key
+        )
+        lp = _round_up(prompt_codes.shape[1], 16)
+        prompt_b = jnp.tile(
+            jnp.pad(prompt_codes, ((0, 0), (0, lp - prompt_codes.shape[1]))), (n * k, 1)
+        )
+        text_b = jnp.repeat(text_ids, k, axis=0)  # (N*k, lt)
+        codes = self._gpt_sample_fn(
+            self.params["gpt"], text_b, prompt_b, k1, max_generate_length, 1
+        )  # (N*k, T) — batch already expanded
+
+        if k > 1:
+            sims = np.asarray(
+                self._clvp_rank_fn(self.params["clvp"], text_b, codes)
+            )
+            best = [int(np.argmax(sims[i * k:(i + 1) * k])) + i * k for i in range(n)]
+        else:
+            best = list(range(n))
+
+        stop = self.cfg.gpt.stop_mel_token
+        arr = np.asarray(codes)[best]  # (N, T)
+        code_lens = []
+        for row in arr:
+            stops = np.where(row == stop)[0]
+            code_lens.append(max(int(stops[0]) if len(stops) else row.shape[0], 1))
+        bucket = min(_round_up(max(code_lens), 32), arr.shape[1])
+        clean = np.stack([
+            np.where(np.arange(arr.shape[1]) < cl, row, 0)[:bucket]
+            for row, cl in zip(arr, code_lens)
+        ])
+        refer_b = jnp.tile(refer_mel, (n, 1, 1))
+        wav = self._tail_fn(
+            self.params["gpt"], self.params["diffusion"], self.params["vocos"],
+            text_ids, jnp.asarray(clean), jnp.asarray(code_lens), refer_b, k2,
+            opts["diffusion_iterations"], int(bucket * 4),
+            self.cfg.diffusion.cond_free_k,
+        )
+        wav = np.asarray(wav)
+        hop = self.cfg.vocos.hop_length
+        return [wav[i, : code_lens[i] * 4 * hop] for i in range(n)]
