@@ -496,6 +496,42 @@ class Conv1dGLU(nn.Module):
         return x
 
 
+class MelStyleEncoderVAE(nn.Module):
+    """Variational style encoder (modules.MelStyleEncoderVAE:767-816):
+    MelStyleEncoder → (μ, logvar) heads → reparameterized z → style embed,
+    with a standard-normal KL penalty (σ = exp(logvar), reference convention)."""
+
+    spec_channels: int
+    z_latent_dim: int
+    emb_dim: int
+
+    def setup(self):
+        self.ref_encoder = MelStyleEncoder(
+            n_mel_channels=self.spec_channels, style_vector_dim=self.emb_dim
+        )
+        self.fc1 = nn.Dense(self.z_latent_dim)
+        self.fc2 = nn.Dense(self.z_latent_dim)
+        self.fc3 = nn.Dense(self.emb_dim)
+
+    def __call__(self, x, mask=None, train: bool = False):
+        enc = self.ref_encoder(x, mask, deterministic=not train)
+        mu = self.fc1(enc)
+        logvar = self.fc2(enc)
+        sigma = jnp.exp(logvar)
+        # KL(N(mu, sigma) || N(0, 1)), mean over batch and dims
+        kl = jnp.mean(0.5 * (sigma**2 + mu**2 - 1.0) - logvar)
+        if train:
+            eps = jax.random.normal(self.make_rng("noise"), mu.shape)
+            z = mu + eps * sigma
+        else:
+            z = mu
+        return self.fc3(z), kl
+
+    def infer(self, z):
+        """Style from a prior sample / manual latent (modules.py infer)."""
+        return self.fc3(z)
+
+
 class MelStyleEncoder(nn.Module):
     """Spectral MLP → Conv1dGLU×2 → self-attention → masked temporal pooling
     → style vector (modules.MelStyleEncoder:686-766). Input (B, T, n_mel),

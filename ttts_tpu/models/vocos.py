@@ -76,6 +76,86 @@ class ISTFTHead(nn.Module):
         return istft(spec, self.n_fft, self.hop_length, self.n_fft, padding=self.padding)
 
 
+class VocosResBlock1(nn.Module):
+    """HiFi-GAN-style dilated ResBlock with layer scale, no upsampling
+    (ttts/vocoder/modules.py ResBlock1:89-190)."""
+
+    dim: int
+    kernel_size: int = 3
+    dilations: tuple = (1, 3, 5)
+    layer_scale_init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            xt = nn.leaky_relu(x, 0.1)
+            xt = nn.WeightNorm(nn.Conv(self.dim, (self.kernel_size,),
+                                       kernel_dilation=(d,), padding="SAME"))(xt)
+            xt = nn.leaky_relu(xt, 0.1)
+            xt = nn.WeightNorm(nn.Conv(self.dim, (self.kernel_size,), padding="SAME"))(xt)
+            gamma = self.param(f"gamma_{d}", nn.initializers.constant(
+                self.layer_scale_init_value), (self.dim,))
+            x = x + gamma * xt
+        return x
+
+
+class VocosResNetBackbone(nn.Module):
+    """ResBlock backbone variant (ttts/vocoder/models.py:93-118)."""
+
+    cfg: VocosConfig
+    num_blocks: int = 3
+
+    @nn.compact
+    def __call__(self, mel):
+        c = self.cfg
+        x = nn.WeightNorm(nn.Conv(c.dim, (3,), padding="SAME"))(mel)
+        scale = 1.0 / self.num_blocks / 3
+        for _ in range(self.num_blocks):
+            x = VocosResBlock1(c.dim, layer_scale_init_value=scale)(x)
+        return x
+
+
+def _symexp(x):
+    return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
+
+
+class IMDCTSymExpHead(nn.Module):
+    """MDCT-coefficient head with symmetric-exp output
+    (ttts/vocoder/heads.py IMDCTSymExpHead:70-120)."""
+
+    mdct_frame_len: int
+    padding: str = "same"
+    clip_audio: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ttts_tpu.ops.mdct import imdct
+
+        coeffs = _symexp(nn.Dense(self.mdct_frame_len // 2)(x))
+        coeffs = jnp.clip(coeffs, -1e2, 1e2)
+        audio = imdct(coeffs, self.mdct_frame_len, self.padding)
+        return jnp.clip(audio, -1.0, 1.0) if self.clip_audio else audio
+
+
+class IMDCTCosHead(nn.Module):
+    """MDCT head parameterized as exp(m)·cos(φ)
+    (ttts/vocoder/heads.py IMDCTCosHead)."""
+
+    mdct_frame_len: int
+    padding: str = "same"
+    clip_audio: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ttts_tpu.ops.mdct import imdct
+
+        h = nn.Dense(self.mdct_frame_len)(x)
+        m, p = jnp.split(h, 2, axis=-1)
+        coeffs = jnp.minimum(jnp.exp(m), 1e2) * jnp.cos(p)
+        audio = imdct(coeffs, self.mdct_frame_len, self.padding)
+        return jnp.clip(audio, -1.0, 1.0) if self.clip_audio else audio
+
+
 class Vocos(nn.Module):
     """feature-less decode path: log-mel (B, T, n_mels) → wav (B, T*hop)."""
 
