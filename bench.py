@@ -98,6 +98,7 @@ def bench_gpt_decode():
         lambda p, t, c, k: inference_speech(
             model, p, t, c, k, max_generate_length=gen_len,
             sampling=SamplingParams(top_p=0.8, temperature=0.8, repetition_penalty=2.0),
+            early_stop=False,  # honest fixed-length measurement
         )
     )
     np.asarray(run(params, text, prompt, jax.random.key(1)))

@@ -330,13 +330,16 @@ def inference_speech(
     key: jax.Array,
     max_generate_length: int,
     sampling: SamplingParams = SamplingParams(),
+    early_stop: bool = True,
 ):
-    """Autoregressive mel-code generation as one lax.scan.
+    """Autoregressive mel-code generation as one compiled loop.
 
     text_inputs (B, Lt), prompt_codes (B, Lp) → codes (B, max_generate_length)
     padded with stop_mel_token after each sequence's stop. Compiles per
-    (Lt, Lp, max_generate_length) bucket.
-    """
+    (Lt, Lp, max_generate_length) bucket. With `early_stop`, the loop is a
+    lax.while_loop that exits once every sequence has emitted stop_mel_token —
+    real utterances are usually much shorter than the bucket, so this skips
+    the tail steps the reference's HF `generate` also skips."""
     c = model.cfg
     prefix_len = text_inputs.shape[1] + 2 + prompt_codes.shape[1] + 1
     max_len = prefix_len + max_generate_length
@@ -352,25 +355,47 @@ def inference_speech(
         lambda pc: jnp.zeros((c.number_mel_codes,), jnp.int32).at[pc].add(1)
     )(prompt_codes)
 
-    def step(carry, i):
-        cache, logits, counts, done, key = carry
+    def step_core(i, cache, logits, counts, done, key):
         key, sk = jax.random.split(key)
         tok = sample_logits(sk, logits, counts, sampling)
         tok = jnp.where(done, c.stop_mel_token, tok)
         done = done | (tok == c.stop_mel_token)
         counts = counts.at[jnp.arange(b), tok].add(1)
-        logits, cache = model.apply(
-            params,
-            tok,
-            cache,
-            prefix_len + i,
-            mel_off + i,
-            max_len,
+        logits, new_cache = model.apply(
+            params, tok, cache, prefix_len + i, mel_off + i, max_len,
             method=model.decode_one,
+        )
+        return tok, new_cache, logits, counts, done, key
+
+    done0 = jnp.zeros((b,), bool)
+    if early_stop:
+        tokens0 = jnp.full((b, max_generate_length), c.stop_mel_token, jnp.int32)
+
+        def cond(carry):
+            i, _, _, _, done, _, _ = carry
+            return (i < max_generate_length) & ~jnp.all(done)
+
+        def body(carry):
+            i, cache, logits, counts, done, key, tokens = carry
+            tok, cache, logits, counts, done, key = step_core(
+                i, cache, logits, counts, done, key
+            )
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                tokens, tok[:, None].astype(jnp.int32), i, axis=1
+            )
+            return (i + 1, cache, logits, counts, done, key, tokens)
+
+        carry = (jnp.int32(0), cache, logits, counts, done0, key, tokens0)
+        _, _, _, _, _, _, tokens = jax.lax.while_loop(cond, body, carry)
+        return tokens
+
+    def step(carry, i):
+        cache, logits, counts, done, key = carry
+        tok, cache, logits, counts, done, key = step_core(
+            i, cache, logits, counts, done, key
         )
         return (cache, logits, counts, done, key), tok
 
-    done0 = jnp.zeros((b,), bool)
     (_, _, _, done, _), tokens = jax.lax.scan(
         step, (cache, logits, counts, done0, key), jnp.arange(max_generate_length)
     )
