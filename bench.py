@@ -42,7 +42,9 @@ def bench_e2e():
 
     def one_utterance(seed):
         k1, k2 = jax.random.split(jax.random.key(seed))
-        sampled = tts._gpt_sample(text_ids, prompt, k1, bucket, 1)
+        sampled = tts._gpt_sample_fn(
+            tts.params["gpt"], text_ids, prompt, k1, bucket, 1, early_stop=False
+        )
         wav = tts._tail_fn(
             tts.params["gpt"], tts.params["diffusion"], tts.params["vocos"],
             text_ids, gen_codes, jnp.asarray([bucket]), refer, k2,

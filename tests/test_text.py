@@ -39,3 +39,18 @@ class TestPinyin:
     def test_ascii_passthrough_without_pypinyin(self):
         # works with or without pypinyin installed
         assert text_to_pinyin("hello world") in ("hello world", "hello world")
+
+
+class TestRedaction:
+    def test_parse_redactions(self):
+        from ttts_tpu.text.alignment import parse_redactions
+
+        clean, red = parse_redactions("hello [secret words] and [more] text")
+        assert clean == "hello secret words and more text"
+        assert red == ["secret words", "more"]
+
+    def test_no_brackets_passthrough(self):
+        from ttts_tpu.text.alignment import parse_redactions
+
+        clean, red = parse_redactions("no brackets here")
+        assert clean == "no brackets here" and red == []

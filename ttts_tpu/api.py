@@ -159,15 +159,17 @@ class TextToSpeech:
 
     @functools.cached_property
     def _gpt_sample_fn(self):
-        def fn(params, text_ids, prompt_codes, key, max_gen, num_samples):
+        def fn(params, text_ids, prompt_codes, key, max_gen, num_samples,
+               early_stop=True):
             text_b = jnp.tile(text_ids, (num_samples, 1))
             prompt_b = jnp.tile(prompt_codes, (num_samples, 1))
             return inference_speech(
                 self.gpt, params, text_b, prompt_b, key, max_gen,
                 SamplingParams(top_p=0.8, temperature=0.8, repetition_penalty=2.0),
+                early_stop=early_stop,
             )
 
-        return jax.jit(fn, static_argnames=("max_gen", "num_samples"))
+        return jax.jit(fn, static_argnames=("max_gen", "num_samples", "early_stop"))
 
     def _gpt_sample(self, text_ids, prompt_codes, key, max_gen, num_samples):
         return self._gpt_sample_fn(
