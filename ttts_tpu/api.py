@@ -18,7 +18,6 @@ api.py temporary_cuda:219).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Dict, Optional
 

@@ -13,7 +13,7 @@ import dataclasses
 import json
 import pathlib
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple, Type, TypeVar
+from typing import Any, Optional, Tuple, Type, TypeVar
 
 T = TypeVar("T")
 

@@ -15,8 +15,7 @@ MXU-friendlier batch.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

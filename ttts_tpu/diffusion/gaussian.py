@@ -17,8 +17,8 @@ per-step math is jnp with static shapes. Model convention: channels-last mel
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence
+from dataclasses import dataclass
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

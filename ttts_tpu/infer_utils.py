@@ -11,7 +11,7 @@ from __future__ import annotations
 import pathlib
 from typing import Optional, Tuple
 
-from ttts_tpu.config import TTTSConfig, default_config, load_config
+from ttts_tpu.config import TTTSConfig, default_config
 
 
 def build_model(name: str, cfg: Optional[TTTSConfig] = None):

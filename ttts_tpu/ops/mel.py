@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ttts_tpu.ops.stft import stft, hann_window, _reflect_pad_last
+from ttts_tpu.ops.stft import stft, _reflect_pad_last
 
 
 # ---------------------------------------------------------------------------
