@@ -57,8 +57,11 @@ def _round_up(n, m):
 class TextToSpeech:
     """Resident-model serving orchestrator."""
 
+    ALL_STAGES = ("codec", "gpt", "diffusion", "vocos", "clvp")
+
     def __init__(self, cfg: Optional[TTTSConfig] = None, params: Optional[Dict] = None,
-                 seed: int = 0, use_bf16: Optional[bool] = None):
+                 seed: int = 0, use_bf16: Optional[bool] = None,
+                 init_stages: Optional[tuple] = None):
         self.cfg = cfg or default_config()
         self.tok = default_tokenizer()
         c = self.cfg
@@ -74,15 +77,18 @@ class TextToSpeech:
         self.diffusion_net = AA_diffusion(c.diffusion_net, dtype=act_dtype)
         self.vocos = Vocos(c.vocos)
         self.clvp = CLVP(c.clvp)
-        self.params = params if params is not None else self._random_init(seed)
+        self.params = params if params is not None else self._random_init(
+            seed, init_stages or self.ALL_STAGES
+        )
         # conditioning cache: voice id → (prompt_codes, refer_mel)
         self._cond_cache: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------ init
 
-    def _random_init(self, seed: int) -> Dict:
-        """Random-init parameters for every stage (used for pipeline testing
-        and benchmarking; real deployments restore from checkpoints)."""
+    def _random_init(self, seed: int, stages=ALL_STAGES) -> Dict:
+        """Random-init parameters (used for pipeline testing and
+        benchmarking; real deployments restore from checkpoints). `stages`
+        limits which models get initialized — each init is a compile."""
         c = self.cfg
         key = jax.random.key(seed)
         hop = c.audio.hop_length
@@ -97,17 +103,22 @@ class TextToSpeech:
         rngs = {"params": key, "noise": key, "slice": key, "vq": key}
         params = {}
         # jit the inits: eager init dispatches the whole graph op-by-op
-        params["codec"] = jax.jit(
-            functools.partial(self.codec.init, train=False)
-        )(rngs, wav32, wav32, spec, spec, sl, text, tl)
-        params["gpt"] = jax.jit(self.gpt.init)(key, text, tl, codes, wl)
+        if "codec" in stages:
+            params["codec"] = jax.jit(
+                functools.partial(self.codec.init, train=False)
+            )(rngs, wav32, wav32, spec, spec, sl, text, tl)
+        if "gpt" in stages:
+            params["gpt"] = jax.jit(self.gpt.init)(key, text, tl, codes, wl)
         mel = jnp.zeros((1, 32, c.diffusion_net.in_channels))
         latent = jnp.zeros((1, 16, c.diffusion_net.in_latent_channels))
-        params["diffusion"] = jax.jit(self.diffusion_net.init)(
-            key, mel, jnp.asarray([1.0]), latent, mel
-        )
-        params["vocos"] = jax.jit(self.vocos.init)(key, mel)
-        params["clvp"] = jax.jit(self.clvp.init)(key, text, codes)
+        if "diffusion" in stages:
+            params["diffusion"] = jax.jit(self.diffusion_net.init)(
+                key, mel, jnp.asarray([1.0]), latent, mel
+            )
+        if "vocos" in stages:
+            params["vocos"] = jax.jit(self.vocos.init)(key, mel)
+        if "clvp" in stages:
+            params["clvp"] = jax.jit(self.clvp.init)(key, text, codes)
         return params
 
     # ------------------------------------------------- conditioning (prompt)
