@@ -153,3 +153,20 @@ class TestSampling:
         out = np.asarray(apply_typical(logits, 0.9))
         # uniform distribution: all tokens equally typical; ≥1 kept
         assert np.isfinite(out).sum() >= 1
+
+
+class TestEarlyStopParity:
+    def test_while_loop_matches_scan(self, gpt_and_params):
+        """Both decode modes share the same rng path — identical tokens up to
+        (and padded after) the stop position."""
+        model, params, (text, _, codes, _) = gpt_and_params
+        kwargs = dict(
+            max_generate_length=12,
+            sampling=SamplingParams(temperature=1.0, top_p=0.9),
+        )
+        key = jax.random.key(11)
+        a = np.asarray(inference_speech(model, params, text, codes[:, :4], key,
+                                        early_stop=False, **kwargs))
+        b = np.asarray(inference_speech(model, params, text, codes[:, :4], key,
+                                        early_stop=True, **kwargs))
+        np.testing.assert_array_equal(a, b)
