@@ -102,3 +102,34 @@ class TestRVQ:
             _, _, _, state = fwd(state, x, jax.random.fold_in(jax.random.key(5), i))
         # the dead code has been replaced by an in-distribution vector
         assert float(jnp.abs(state.embed[0, 0]).max()) < 100.0
+
+
+class TestShardMapSync:
+    def test_replicas_agree_after_init_and_expiry(self, rng):
+        """Under shard_map (explicit axis_name), k-means init and dead-code
+        expiry must draw from the SAME global pool with the same key on every
+        replica — otherwise codebooks silently diverge (the multi-replica bug
+        the reference left disabled, core_vq.py:150,168)."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+        state = rvq_init(jax.random.key(0), n_q=1, bins=16, dim=4)
+        x = jnp.asarray(rng.standard_normal((8, 6, 4)).astype(np.float32))
+
+        def body(st, xs, key):
+            _, _, _, new = rvq_forward(st, xs, key, train=True, axis_name="dp")
+            # leading axis 1 so out_specs P('dp') stacks one copy per replica
+            return new.embed[None], new.cluster_size[None]
+
+        def step(st, xs, key):
+            return jax.shard_map(
+                body, mesh=mesh, in_specs=(P(), P("dp"), P()),
+                out_specs=(P("dp"), P("dp")),
+            )(st, xs, key)
+
+        # step 1: k-means init path
+        emb, cs = step(state, x, jax.random.key(7))
+        emb = np.asarray(emb).reshape(8, -1)
+        cs = np.asarray(cs).reshape(8, -1)
+        np.testing.assert_array_equal(emb, np.broadcast_to(emb[0], emb.shape))
+        np.testing.assert_array_equal(cs, np.broadcast_to(cs[0], cs.shape))

@@ -89,6 +89,14 @@ class VQVAEConfig:
     upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 8, 2, 2)
     n_layers_q: int = 3
     posterior_wn_layers: int = 16  # WN depth in PosteriorAudioEncoder (vq2.py:831)
+    # posterior raw-audio downsample stack (vq2.py:690-707); prod(rates) must
+    # equal the codec hop. Exposed so tests/dryruns can run tiny stacks.
+    posterior_down_rates: Tuple[int, ...] = (10, 8, 2, 2, 2)
+    posterior_down_kernels: Tuple[int, ...] = (16, 16, 8, 2, 2)
+    posterior_down_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 192)
+    posterior_rb_kernels: Tuple[int, ...] = (3, 7, 11)
+    posterior_rb_dilations: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
     flow_layers: int = 4  # coupling layers (vq2.py:838)
     flow_wn_layers: int = 4
     use_spectral_norm: bool = False

@@ -23,6 +23,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels: Tuple[int, ...] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, x):
@@ -36,7 +37,7 @@ class DiscriminatorP(nn.Module):
 
         fmap = []
         kp = (self.kernel_size - 1) // 2
-        for ch in (32, 128, 512, 1024):
+        for ch in self.channels:
             x = nn.WeightNorm(
                 nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
                         padding=[(kp, kp), (0, 0)])
@@ -44,7 +45,8 @@ class DiscriminatorP(nn.Module):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = nn.WeightNorm(
-            nn.Conv(1024, (self.kernel_size, 1), strides=(1, 1), padding=[(kp, kp), (0, 0)])
+            nn.Conv(self.channels[-1], (self.kernel_size, 1), strides=(1, 1),
+                    padding=[(kp, kp), (0, 0)])
         )(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
@@ -56,19 +58,20 @@ class DiscriminatorP(nn.Module):
 class DiscriminatorS(nn.Module):
     """Scale discriminator (vq2.py:497-525)."""
 
+    specs: Tuple[Tuple[int, int, int, int], ...] = (
+        (16, 15, 1, 1),
+        (64, 41, 4, 4),
+        (256, 41, 4, 16),
+        (1024, 41, 4, 64),
+        (1024, 41, 4, 256),
+        (1024, 5, 1, 1),
+    )  # (channels, kernel, stride, groups) per layer
+
     @nn.compact
     def __call__(self, x):
         b = x.shape[0]
         fmap = []
-        specs = [
-            (16, 15, 1, 1),
-            (64, 41, 4, 4),
-            (256, 41, 4, 16),
-            (1024, 41, 4, 64),
-            (1024, 41, 4, 256),
-            (1024, 5, 1, 1),
-        ]
-        for ch, k, s, g in specs:
+        for ch, k, s, g in self.specs:
             x = Conv1d(ch, k, stride=s, groups=g,
                        padding=((k - 1) // 2, (k - 1) // 2), weight_norm=True)(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
@@ -83,10 +86,14 @@ class MultiPeriodDiscriminator(nn.Module):
     (scores_real, scores_gen, fmaps_real, fmaps_gen)."""
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    p_channels: Tuple[int, ...] = (32, 128, 512, 1024)
+    s_specs: Tuple[Tuple[int, int, int, int], ...] = DiscriminatorS.specs
 
     @nn.compact
     def __call__(self, y, y_hat):
-        discs = [DiscriminatorS()] + [DiscriminatorP(p) for p in self.periods]
+        discs = [DiscriminatorS(self.s_specs)] + [
+            DiscriminatorP(p, channels=self.p_channels) for p in self.periods
+        ]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d in discs:
             s_r, f_r = d(y)

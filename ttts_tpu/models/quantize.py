@@ -153,6 +153,19 @@ def _psum_if(axis_name: Optional[str], x: jax.Array) -> jax.Array:
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
+def _global_pool(axis_name: Optional[str], x: jax.Array) -> jax.Array:
+    """Candidate pool for expiry replacement / k-means init.
+
+    Under shard_map (axis_name set) every replica must draw replacements from
+    the SAME pool with the SAME key, or codebooks silently diverge — the
+    multi-replica bug the reference left disabled (core_vq.py:150,168). Under
+    pjit (no axis_name) x already has global semantics."""
+    if axis_name is None:
+        return x
+    g = jax.lax.all_gather(x, axis_name)  # (replicas, N, D)
+    return g.reshape(-1, x.shape[-1])
+
+
 def _layer_update(
     state_i: Tuple[jax.Array, jax.Array, jax.Array],
     x: jax.Array,
@@ -179,7 +192,7 @@ def _layer_update(
 
     # dead-code expiry (threshold 2, core_vq.py:158-168) — also reset avg/size
     expired = cluster_size < threshold
-    replacement = _sample_vectors(key, x, bins)
+    replacement = _sample_vectors(key, _global_pool(axis_name, x), bins)
     embed_avg = jnp.where(expired[:, None], replacement, embed_avg)
     cluster_size = jnp.where(expired, jnp.ones_like(cluster_size), cluster_size)
 
@@ -232,10 +245,11 @@ def rvq_forward(
     flat = x.reshape(-1, d)
 
     if train:
-        # k-means init on the first batch (core_vq.py:141-150)
+        # k-means init on the first batch (core_vq.py:141-150). Under
+        # shard_map the init must see the SAME (global) data on every replica.
         def do_init(st: RVQState) -> RVQState:
             embeds, counts = [], []
-            data = flat
+            data = _global_pool(axis_name, flat)
             for i in range(state.embed.shape[0]):
                 ki = jax.random.fold_in(key, 1000 + i)
                 m, c = _kmeans(ki, data, st.embed.shape[1])
@@ -256,7 +270,20 @@ def rvq_forward(
                 inited=jnp.asarray(True),
             )
 
-        state = jax.lax.cond(state.inited, lambda s: s, do_init, state)
+        # under shard_map the init branch sees all_gather'd (device-varying)
+        # data while the identity branch is replica-invariant; lax.cond needs
+        # both branches at the same varying type, so promote each leaf
+        def _vary(x):
+            if axis_name is None:
+                return x
+            if axis_name in getattr(jax.typeof(x), "vma", ()):
+                return x
+            return jax.lax.pcast(x, axis_name, to="varying")
+
+        vary_tree = lambda t: jax.tree_util.tree_map(_vary, t)  # noqa: E731
+        state = jax.lax.cond(
+            state.inited, lambda s: vary_tree(s), lambda s: vary_tree(do_init(s)), state
+        )
 
     quantized_out = jnp.zeros_like(flat)
     residual = flat

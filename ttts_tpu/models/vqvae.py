@@ -260,14 +260,20 @@ class PosteriorAudioEncoder(nn.Module):
     dilation_rate: int = 1
     n_layers: int = 16
     gin_channels: int = 0
+    # raw-audio downsample stack; defaults are the reference's (vq2.py:690-707)
+    down_rates: Tuple[int, ...] = (10, 8, 2, 2, 2)
+    down_kernels: Tuple[int, ...] = (16, 16, 8, 2, 2)
+    down_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 192)
+    rb_kernels: Tuple[int, ...] = (3, 7, 11)
+    rb_dils: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
 
     @nn.compact
     def __call__(self, spec, audio, x_mask, g=None, noise_key=None):
-        down_rates = (10, 8, 2, 2, 2)
-        down_kernels = (16, 16, 8, 2, 2)
-        chans = (16, 32, 64, 96, 128, 192)
-        rb_kernels = (3, 7, 11)
-        rb_dils = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+        down_rates = self.down_rates
+        down_kernels = self.down_kernels
+        chans = self.down_channels
+        rb_kernels = self.rb_kernels
+        rb_dils = self.rb_dils
 
         a = Conv1d(16, 7)(audio)
         for i, (u, k) in enumerate(zip(down_rates, down_kernels)):
@@ -326,13 +332,20 @@ class SynthesizerTrn(nn.Module):
         self.ref_enc = MelStyleEncoder(
             n_mel_channels=self.spec_channels, style_vector_dim=c.gin_channels
         )
+        post_kw = dict(
+            down_rates=c.posterior_down_rates,
+            down_kernels=c.posterior_down_kernels,
+            down_channels=c.posterior_down_channels,
+            rb_kernels=c.posterior_rb_kernels,
+            rb_dils=c.posterior_rb_dilations,
+        )
         self.enc_p = PosteriorAudioEncoder(
             self.spec_channels, c.inter_channels, c.hidden_channels,
-            5, 1, c.posterior_wn_layers, gin_channels=c.gin_channels,
+            5, 1, c.posterior_wn_layers, gin_channels=c.gin_channels, **post_kw,
         )
         self.enc_q = PosteriorAudioEncoder(
             self.spec_channels, c.inter_channels, c.hidden_channels,
-            5, 1, c.posterior_wn_layers, gin_channels=c.gin_channels,
+            5, 1, c.posterior_wn_layers, gin_channels=c.gin_channels, **post_kw,
         )
         self.enc_p_2 = TextEncoder(
             c.inter_channels, c.hidden_channels, c.filter_channels,

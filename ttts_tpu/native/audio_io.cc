@@ -55,7 +55,10 @@ static int wav_parse(const uint8_t* buf, int64_t len, WavInfo* info,
       info->channels = rd_u16(ck + 10);
       info->sample_rate = (int32_t)rd_u32(ck + 12);
       *bits = rd_u16(ck + 22);
-      if (*fmt_code == 0xFFFE && ck_size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+      // WAVE_FORMAT_EXTENSIBLE: the sub-format lives 24 bytes into the fmt
+      // payload — re-check the BUFFER bound, not just the declared ck_size
+      // (a truncated/malicious file can claim ck_size >= 40 with fewer bytes)
+      if (*fmt_code == 0xFFFE && ck_size >= 40 && pos + 8 + 26 <= len) {
         *fmt_code = rd_u16(ck + 8 + 24);
       }
       have_fmt = true;

@@ -50,7 +50,9 @@ def ring_attention(
 
     q_pos = my_idx * t_local + jnp.arange(t_local)  # global query positions
 
-    neg = jnp.finfo(jnp.float32).min
+    # masked scores are -inf (NOT finfo.min) so the fully-masked-block guards
+    # below — jnp.isfinite — actually distinguish masked from valid entries
+    neg = -jnp.inf
 
     def block(scores_carry, step):
         """One ring hop: attend to the k/v block currently held, then pass it
@@ -67,7 +69,7 @@ def ring_attention(
 
         m_blk = jnp.max(s, axis=-1)  # (B,H,Tq)
         m_new = jnp.maximum(m, m_blk)
-        # guard fully-masked blocks (exp(neg - neg) otherwise)
+        # fully-masked rows: s - m_new = -inf - -inf = nan → zero them
         p = jnp.exp(s - m_new[..., None])
         p = jnp.where(jnp.isfinite(s), p, 0.0)
         corr = jnp.exp(m - m_new)
@@ -84,9 +86,11 @@ def ring_attention(
 
     # mark the initial accumulators as device-varying over the ring axis so
     # the scan carry types match (shard_map tracks varying manual axes)
-    acc0 = lax.pvary(jnp.zeros((b, h, t_local, d), jnp.float32), axis_name)
-    m0 = lax.pvary(jnp.full((b, h, t_local), neg, jnp.float32), axis_name)
-    l0 = lax.pvary(jnp.zeros((b, h, t_local), jnp.float32), axis_name)
+    def _vary(x):
+        return lax.pcast(x, axis_name, to="varying")
+    acc0 = _vary(jnp.zeros((b, h, t_local, d), jnp.float32))
+    m0 = _vary(jnp.full((b, h, t_local), neg, jnp.float32))
+    l0 = _vary(jnp.zeros((b, h, t_local), jnp.float32))
     (acc, m, l, _, _), _ = lax.scan(
         block, (acc0, m0, l0, k, v), jnp.arange(axis_size)
     )
@@ -98,7 +102,7 @@ def make_ring_attention(mesh, axis_name: str = "sp", causal: bool = False):
     """shard_map-wrapped ring attention over `axis_name` of `mesh`; inputs
     (B, T, H, D) with T divisible by the axis size."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape[axis_name]
     fn = functools.partial(

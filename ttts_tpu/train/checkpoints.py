@@ -67,7 +67,11 @@ def export_release(params: Any, path: str | pathlib.Path, drop_prefixes=("enc_q"
                 visit(v, f"{prefix}{k}/")
         else:
             key = prefix[:-1]
-            if any(p in key for p in drop_prefixes):
+            # the reference's savee drops keys that START with the prefix as a
+            # module path (process_ckpt.py:14); substring matching would also
+            # drop any key merely containing it
+            segs = key.split("/")
+            if any(s == p for s in segs[:2] for p in drop_prefixes):
                 return
             arr = np.asarray(tree)
             flat[key] = arr.astype(np.float16) if arr.dtype == np.float32 else arr

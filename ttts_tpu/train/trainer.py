@@ -68,6 +68,9 @@ class Trainer:
         if latest is not None:
             _, self.state = self.ckpt.restore(latest, template=self.state)
             self.step = latest
+            # fold the resumed step into the PRNG stream — otherwise a resumed
+            # run replays the exact per-step keys of steps 1..N for N+1..2N
+            self.key = jax.random.fold_in(self.key, latest)
             self.logger.info("resumed from step %d", latest)
 
     def _put(self, batch: Dict[str, np.ndarray]):
