@@ -130,6 +130,7 @@ class GPTConfig:
     train_solo_embeddings: bool = False
     checkpointing: bool = False
     max_conditioning_inputs: int = 1
+    dropout: float = 0.1  # GPT-2 resid/attn/embd dropout (HF defaults)
 
 
 @dataclass(frozen=True)
@@ -178,6 +179,12 @@ class CLVPConfig:
     speech_seq_len: int = 430
     text_mask_percentage: float = 0.0
     voice_mask_percentage: float = 0.0
+    # encoder flavour (clvp/model.py:52-96). True → x-transformers style
+    # (RMSNorm/GLU/rotary — no position tables, the TPU-preferred default);
+    # False → the plain Transformer the reference v2 trainer instantiates
+    # (utils/transformer.py:182: LayerScale+PreNorm+GEGLU, learned pos emb).
+    use_xformers: bool = True
+    dim_head: int = 64
 
 
 @dataclass(frozen=True)
@@ -249,6 +256,9 @@ class TrainConfig:
     num_peak: int = 8
     g_min: float = -12.0
     g_max: float = 12.0
+    # host formant/pitch warp stage (praat or numpy spectral warp) in the
+    # codec loader threads (vqvae/train.py:62-116); PEQ stays in-jit
+    aug_warp: bool = True
     # diffusion
     unconditioned_percentage: float = 0.1
     timesteps: int = 1000

@@ -329,12 +329,16 @@ class RelPosMultiHeadAttention(nn.Module):
     window_size: Optional[int] = None
     p_dropout: float = 0.0
     heads_share: bool = True
+    # score scale; None → 1/sqrt(d_k) (attentions.py:248). MelStyleEncoder's
+    # attention divides by sqrt(d_model) instead (modules.py:620-621).
+    qk_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, c, attn_mask=None, deterministic=True):
         d = self.channels
         h = self.n_heads
         dk = d // h
+        scale = self.qk_scale if self.qk_scale is not None else 1.0 / math.sqrt(dk)
         q = Conv1d(d, 1, padding=(0, 0))(x)
         k = Conv1d(d, 1, padding=(0, 0))(c)
         v = Conv1d(d, 1, padding=(0, 0))(c)
@@ -345,7 +349,7 @@ class RelPosMultiHeadAttention(nn.Module):
         kh = k.reshape(b, t_s, h, dk).transpose(0, 2, 1, 3)
         vh = v.reshape(b, t_s, h, dk).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhld,bhmd->bhlm", qh / math.sqrt(dk), kh)
+        scores = jnp.einsum("bhld,bhmd->bhlm", qh * scale, kh)
         if self.window_size is not None:
             assert t_s == t_t, "relative attention is self-attention only"
             n_rel = 1 if self.heads_share else h
@@ -490,10 +494,11 @@ class Conv1dGLU(nn.Module):
     def __call__(self, x, deterministic=True):
         h = Conv1d(2 * self.channels, self.kernel_size)(x)
         a, b = jnp.split(h, 2, axis=-1)
-        x = x + a * jax.nn.sigmoid(b)
+        g = a * jax.nn.sigmoid(b)
+        # dropout on the gated branch only (modules.py:566: residual + dropout(x))
         if self.p_dropout > 0:
-            x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        return x
+            g = nn.Dropout(self.p_dropout)(g, deterministic=deterministic)
+        return x + g
 
 
 class MelStyleEncoderVAE(nn.Module):
@@ -568,8 +573,11 @@ class MelStyleEncoder(nn.Module):
             attn_mask = mask[:, None, :, 0][:, :, None, :] * mask[:, None, :, 0][:, :, :, None]
         else:
             attn_mask = None
+        # the reference's ScaledDotProductAttention divides by sqrt(d_model),
+        # not sqrt(d_k) (modules.py:620-621 temperature=d_model**0.5)
         x = x + RelPosMultiHeadAttention(
-            self.style_hidden, self.style_hidden, self.style_head, p_dropout=self.p_dropout
+            self.style_hidden, self.style_hidden, self.style_head,
+            p_dropout=self.p_dropout, qk_scale=self.style_hidden**-0.5,
         )(x, x, attn_mask, deterministic=deterministic)
         x = nn.Dense(self.style_vector_dim)(x)
         # masked temporal average pool

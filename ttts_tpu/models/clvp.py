@@ -99,6 +99,68 @@ class CLVPEncoder(nn.Module):
         return RMSNorm()(x)
 
 
+class PlainEncoderLayer(nn.Module):
+    """One layer of the reference's non-xformers Transformer
+    (utils/transformer.py:182-226): LayerScale(PreNorm(Attention)) +
+    LayerScale(PreNorm(GEGLU FeedForward)), residual after each."""
+
+    dim: int
+    heads: int
+    dim_head: int = 64
+    ff_mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        d, h, dk = self.dim, self.heads, self.dim_head
+        inner = h * dk
+        b, t, _ = x.shape
+
+        y = nn.LayerNorm(epsilon=1e-5)(x)
+        qkv = nn.Dense(3 * inner, use_bias=False)(y)
+        q, k, v = jnp.split(qkv.reshape(b, t, 3, h, dk), 3, axis=2)
+        q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q / math.sqrt(dk), k)
+        if mask is not None:
+            # masked_fill(~mask, -finfo.max) (transformer.py:26-28,164-167)
+            scores = jnp.where(mask[:, None, None, :], scores,
+                               -jnp.finfo(scores.dtype).max)
+        p = jax.nn.softmax(scores, axis=-1)
+        if self.dropout > 0:
+            p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, inner)
+        y = nn.Dense(d)(attn)
+        gamma_a = self.param("attn_gamma", nn.initializers.constant(0.1), (1, 1, d))
+        x = x + y * gamma_a
+
+        y = nn.LayerNorm(epsilon=1e-5)(x)
+        y = nn.Dense(d * self.ff_mult * 2)(y)
+        val, gate = jnp.split(y, 2, axis=-1)
+        y = val * jax.nn.gelu(gate, approximate=False)  # GEGLU, exact gelu
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(d)(y)
+        gamma_f = self.param("ff_gamma", nn.initializers.constant(0.1), (1, 1, d))
+        return x + y * gamma_f
+
+
+class PlainEncoder(nn.Module):
+    """utils/transformer.py Transformer(causal=False) — NO final norm."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        for _ in range(self.depth):
+            x = PlainEncoderLayer(self.dim, self.heads, self.dim_head)(
+                x, mask, deterministic
+            )
+        return x
+
+
 def masked_mean(x, mask):
     """(B, T, D), bool (B, T) → (B, D) (clvp/model.py:15-17)."""
     m = mask[..., None].astype(x.dtype)
@@ -130,12 +192,28 @@ class CLVP(nn.Module):
         text_emb = nn.Embed(c.num_text_tokens, c.dim_text)(text)
         speech_emb = nn.Embed(c.num_speech_tokens, c.dim_speech)(speech_tokens)
 
-        enc_text = CLVPEncoder(c.dim_text, c.text_enc_depth, c.text_heads)(
-            text_emb, text_mask, deterministic=not train
-        )
-        enc_speech = CLVPEncoder(c.dim_speech, c.speech_enc_depth, c.speech_heads)(
-            speech_emb, voice_mask, deterministic=not train
-        )
+        if c.use_xformers:
+            enc_text = CLVPEncoder(c.dim_text, c.text_enc_depth, c.text_heads)(
+                text_emb, text_mask, deterministic=not train
+            )
+            enc_speech = CLVPEncoder(c.dim_speech, c.speech_enc_depth, c.speech_heads)(
+                speech_emb, voice_mask, deterministic=not train
+            )
+        else:
+            # learned absolute positions (model.py:96-98,117-119; the speech
+            # table is vocab-sized in the reference — kept for ported weights)
+            tpe = self.param("text_pos_emb", nn.initializers.normal(1.0),
+                             (c.text_seq_len, c.dim_text))
+            spe = self.param("speech_pos_emb", nn.initializers.normal(1.0),
+                             (c.num_speech_tokens, c.dim_speech))
+            text_emb = text_emb + tpe[: text.shape[1]][None]
+            speech_emb = speech_emb + spe[: speech_tokens.shape[1]][None]
+            enc_text = PlainEncoder(c.dim_text, c.text_enc_depth, c.text_heads,
+                                    c.dim_head)(text_emb, text_mask,
+                                                deterministic=not train)
+            enc_speech = PlainEncoder(c.dim_speech, c.speech_enc_depth,
+                                      c.speech_heads, c.dim_head)(
+                speech_emb, voice_mask, deterministic=not train)
 
         text_latent = nn.Dense(c.dim_latent, use_bias=False)(masked_mean(enc_text, text_mask))
         speech_latent = nn.Dense(c.dim_latent, use_bias=False)(

@@ -254,7 +254,9 @@ class RefEncoder(nn.Module):
         y = nn.Conv(self.dim, (3,), padding="SAME")(y)
         for _ in range(4):
             y = AttentionBlock(self.dim, self.num_heads)(y)
-        y = y[:, : self.num_latents]
+        # the reference's trailing slice latents[:, :self.latents.shape[1], :]
+        # (aa_model.py:177) indexes CHANNELS with the channel count — a no-op —
+        # so the pool averages over the full latents++x sequence; match that.
         return jnp.mean(y, axis=1)
 
 

@@ -177,8 +177,8 @@ class UnifiedVoice(nn.Module):
             "mel_pos_embedding", nn.initializers.normal(0.02),
             (c.max_mel_tokens + 2, c.model_dim),
         )
-        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype,
-                             remat=c.checkpointing)
+        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dropout=c.dropout,
+                             dtype=self.dtype, remat=c.checkpointing)
         self.final_norm = nn.LayerNorm(epsilon=1e-5)
         self.text_head = nn.Dense(c.number_text_tokens + 1)
         self.mel_head = nn.Dense(c.number_mel_codes)

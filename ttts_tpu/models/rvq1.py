@@ -61,11 +61,16 @@ class RefEncoder(nn.Module):
         y = nn.Conv(self.out_dim, (3,), padding="SAME")(y)
         for _ in range(2):
             y = AttentionBlock(self.out_dim, self.num_heads)(y)
-        return jnp.mean(y[:, : self.num_latents], axis=1)  # (B, out_dim)
+        # the reference's slice latents[:, :self.latents.shape[1], :]
+        # (rvq1.py:43) indexes channels with the latent WIDTH — a no-op — so
+        # the pool averages over the full latents++x sequence; match that.
+        return jnp.mean(y, axis=1)  # (B, out_dim)
 
 
 class MRTE1(nn.Module):
-    """Latent-query MRTE (rvq1.py:47-83)."""
+    """Latent-memory MRTE (rvq1.py:47-83). The CONTENT provides queries; the
+    fixed latent bank (passed as `refer`, run through mel_enc) provides the
+    keys/values — so the output keeps the content's length."""
 
     model_channels: int = 512
     semantic_channels: int = 1024
@@ -76,9 +81,9 @@ class MRTE1(nn.Module):
     def __call__(self, latents, content, ge):
         import math
 
-        geh = nn.Dense(self.model_channels)(ge)[:, None, :]
-        mel = nn.Conv(self.model_channels, (3,), padding="SAME")(content)
-        txt = Conv1d(self.model_channels, 1, padding=(0, 0))(latents)
+        geh = nn.Dense(self.model_channels)(ge)[:, None, :]  # ge_enc (1×1)
+        mel = nn.Conv(self.model_channels, (3,), padding="SAME")(latents)  # mel_enc
+        txt = Conv1d(self.model_channels, 1, padding=(0, 0))(content)  # text_pre
         b, tq, _ = txt.shape
         h, dk = self.num_heads, self.model_channels // self.num_heads
         q = nn.Dense(self.model_channels)(txt).reshape(b, tq, h, dk)
@@ -93,11 +98,9 @@ class MRTE1(nn.Module):
 
 
 class RVQ1TextEncoder(nn.Module):
-    """Quantized-content prior over 256 learned latents (rvq1.py:84-123).
-
-    Note the reference queries fixed latents with the MRTE (content provides
-    keys/values), so the prior length equals the latent count, matched to the
-    decoder by the caller."""
+    """Quantized-content prior with a 256-latent retrieval memory
+    (rvq1.py:84-123): conv + N AttentionBlocks → MRTE (content queries the
+    latent bank) → N AttentionBlocks → proj. Output length = content length."""
 
     dim: int = 768
     out_channels: int = 192
