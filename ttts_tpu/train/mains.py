@@ -32,7 +32,7 @@ from ttts_tpu.data.datasets import (
 from ttts_tpu.data.loader import DataLoader, EpochLoader
 from ttts_tpu.data.sampler import DistributedBucketSampler
 from ttts_tpu.parallel import make_mesh
-from ttts_tpu.train.state import TrainState, make_adamw, make_gan_adam
+from ttts_tpu.train.state import TrainState, make_adamw, make_gan_adam, with_accumulation
 from ttts_tpu.train.steps import (
     clvp_train_step,
     diffusion_train_step,
@@ -79,8 +79,10 @@ def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None)
     )
     state = TrainState.create(
         apply_fn=model.apply, params=params,
-        tx=make_adamw(cfg.train.lr, cfg.train.warmup_steps, cfg.train.betas,
-                      cfg.train.weight_decay, cfg.train.grad_clip),
+        tx=with_accumulation(
+            make_adamw(cfg.train.lr, cfg.train.warmup_steps, cfg.train.betas,
+                       cfg.train.weight_decay, cfg.train.grad_clip),
+            cfg.train.accumulate_num),
         ema_params=params,
     )
     step = jax.jit(
@@ -90,7 +92,10 @@ def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None)
     )
     trainer = Trainer(
         lambda s, b, k: step(s, b, k), state, data,
-        logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+        logs_folder or cfg.train.logs_folder,
+        # train_steps counts OPTIMIZER updates (reference semantics:
+        # the accumulation loop is inside one step, gpt/train.py:99-112)
+        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
         cfg.train.save_freq, cfg.train.keep_ckpts, mesh=make_mesh(cfg.mesh),
     )
     trainer.maybe_resume()
@@ -107,11 +112,16 @@ def train_clvp(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None
     b0 = ds.collate([ex])
     params = model.init(jax.random.key(0), jnp.asarray(b0["text"]),
                         jnp.asarray(b0["speech_tokens"]))
-    state = TrainState.create(apply_fn=model.apply, params=params,
-                              tx=make_adamw(cfg.train.lr, cfg.train.warmup_steps))
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=with_accumulation(make_adamw(cfg.train.lr, cfg.train.warmup_steps),
+                             cfg.train.accumulate_num))
     step = jax.jit(functools.partial(clvp_train_step, model=model))
     trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
-                      logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+                      logs_folder or cfg.train.logs_folder,
+        # train_steps counts OPTIMIZER updates (reference semantics:
+        # the accumulation loop is inside one step, gpt/train.py:99-112)
+        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
                       cfg.train.save_freq, cfg.train.keep_ckpts,
                       mesh=make_mesh(cfg.mesh))
     trainer.maybe_resume()
@@ -139,8 +149,10 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
         jnp.zeros((1, b0["mel_codes"].shape[1], cfg.gpt.model_dim)),
         jnp.asarray(b0["mel_refer"]),
     )
-    state = TrainState.create(apply_fn=net.apply, params=params,
-                              tx=make_adamw(cfg.train.lr, cfg.train.warmup_steps))
+    state = TrainState.create(
+        apply_fn=net.apply, params=params,
+        tx=with_accumulation(make_adamw(cfg.train.lr, cfg.train.warmup_steps),
+                             cfg.train.accumulate_num))
     step = jax.jit(
         functools.partial(
             diffusion_train_step, model=net, diffuser=diffuser,
@@ -149,7 +161,10 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
         )
     )
     trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
-                      logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+                      logs_folder or cfg.train.logs_folder,
+        # train_steps counts OPTIMIZER updates (reference semantics:
+        # the accumulation loop is inside one step, gpt/train.py:99-112)
+        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
                       cfg.train.save_freq, cfg.train.keep_ckpts,
                       mesh=make_mesh(cfg.mesh))
     trainer.maybe_resume()
@@ -170,14 +185,38 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
     disc = MultiPeriodDiscriminator()
     ds = VQGANDataset(manifest, sample_rate=a.sampling_rate, hop_length=a.hop_length)
 
+    # O(files) header reads (native wav_info) — no decode at startup
     lengths = []
     for r in ds.rows:
         try:
-            from ttts_tpu.data.audio import load_wav
+            from ttts_tpu.data.audio import wav_frames
 
-            lengths.append(len(load_wav(r["path"])[0]))
+            lengths.append(wav_frames(r["path"], target_sr=a.sampling_rate))
         except Exception:
             lengths.append(0)
+
+    from ttts_tpu.data.augment import AugmentConfig, warp_batch_np
+
+    aug_cfg = AugmentConfig(
+        sampling_rate=a.sampling_rate, win_length=a.win_length,
+        hop_length=a.hop_length,
+        formant_shift=cfg.train.formant_shift, pitch_shift=cfg.train.pitch_shift,
+        pitch_range=cfg.train.pitch_range, q_min=cfg.train.q_min,
+        q_max=cfg.train.q_max, num_peak=cfg.train.num_peak,
+        g_min=cfg.train.g_min, g_max=cfg.train.g_max,
+    )
+    warp_rng = np.random.default_rng(cfg.train.seed + 17)
+
+    def collate(items):
+        b = ds.collate(items)
+        if cfg.train.aug_warp:
+            # NANSY formant/pitch warp in loader threads (host, like the
+            # reference's praat stage); the in-jit PEQ applies on top of it
+            b = dict(b)
+            b["wav_warped"] = warp_batch_np(
+                warp_rng, np.asarray(b["wav"])[..., 0], aug_cfg
+            )[..., None]
+        return b
 
     def make(epoch: int):
         sampler = DistributedBucketSampler(
@@ -186,7 +225,7 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
             seed=cfg.train.seed,
         )
         sampler.set_epoch(epoch)
-        return DataLoader(ds, list(sampler), ds.collate)
+        return DataLoader(ds, list(sampler), collate)
 
     data = EpochLoader(make)
 
@@ -211,16 +250,6 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
     d_state = TrainState.create(apply_fn=disc.apply, params=d_params,
                                 tx=make_gan_adam(cfg.train.lr, decay=cfg.train.lr_decay))
 
-    from ttts_tpu.data.augment import AugmentConfig
-
-    aug_cfg = AugmentConfig(
-        sampling_rate=a.sampling_rate, win_length=a.win_length,
-        hop_length=a.hop_length,
-        formant_shift=cfg.train.formant_shift, pitch_shift=cfg.train.pitch_shift,
-        pitch_range=cfg.train.pitch_range, q_min=cfg.train.q_min,
-        q_max=cfg.train.q_max, num_peak=cfg.train.num_peak,
-        g_min=cfg.train.g_min, g_max=cfg.train.g_max,
-    )
     step = jax.jit(
         functools.partial(vqvae_train_step, generator=gen, discriminator=disc,
                           audio_cfg=a, c_mel=cfg.train.c_mel, c_kl=cfg.train.c_kl,
@@ -233,7 +262,10 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
         return {"g": g, "d": d}, metrics
 
     trainer = Trainer(paired_step, {"g": g_state, "d": d_state}, data,
-                      logs_folder or cfg.train.logs_folder, cfg.train.train_steps,
+                      logs_folder or cfg.train.logs_folder,
+        # train_steps counts OPTIMIZER updates (reference semantics:
+        # the accumulation loop is inside one step, gpt/train.py:99-112)
+        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
                       cfg.train.save_freq, cfg.train.keep_ckpts,
                       mesh=make_mesh(cfg.mesh))
     trainer.maybe_resume()

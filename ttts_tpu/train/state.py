@@ -66,6 +66,20 @@ def make_gan_adam(lr: float, betas=(0.8, 0.99), eps: float = 1e-9,
     )
 
 
+def with_accumulation(tx: optax.GradientTransformation,
+                      accumulate_num: int) -> optax.GradientTransformation:
+    """Gradient accumulation via optax.MultiSteps.
+
+    Reference semantics (ttts/gpt/train.py:99-112, ttts/diffusion/
+    train.py:156-195, CLVP bs 24 × accum 5): gradients of loss/N are summed
+    over N micro-batches, then clip + optimizer update fire once. MultiSteps
+    keeps the running average and applies the inner chain (which includes the
+    clip) every N micro-steps — identical math, one jit program."""
+    if accumulate_num <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=accumulate_num)
+
+
 def ema_update(ema_params, new_params, beta: float = 0.999):
     """Shadow-weight EMA (gpt/train.py EMA; update was disabled in the
     reference (:123-124) — enabled here)."""
