@@ -117,6 +117,25 @@ def load_wav(path: str | pathlib.Path, target_sr: Optional[int] = None) -> Tuple
     return data, sr
 
 
+def wav_frames(path: str | pathlib.Path, target_sr: Optional[int] = None) -> int:
+    """Frame count from the WAV HEADER alone — O(1) per file, no decode.
+
+    Used by the bucket sampler's length scan (train_vqvae): the reference
+    decodes every file up front (vqvae/dataset.py); here the native wav_info
+    reads 44-ish bytes. With target_sr the count is rescaled to the training
+    sample rate so bucket boundaries (in target-sr samples) stay correct."""
+    path = str(path)
+    lib = _native()
+    if lib is not None:
+        info = lib.WavInfo()
+        if lib.wav_info(path.encode(), ctypes.byref(info)) == 0:
+            n, sr = int(info.frames), int(info.sample_rate)
+            return n if not target_sr else int(n * target_sr / sr)
+    with wave.open(path, "rb") as w:
+        n, sr = w.getnframes(), w.getframerate()
+    return n if not target_sr else int(n * target_sr / sr)
+
+
 def resample_audio(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     """Polyphase sinc resample on host (native; numpy fallback mirrors
     ttts_tpu/ops/resample.py)."""

@@ -147,36 +147,47 @@ def vqvae_train_step(
 
     batch = dict(batch)
     if "wav_aug" not in batch:
+        # the host loader may supply a formant/pitch-warped wav ('wav_warped',
+        # data/augment.py warp_batch_np — the reference's praat stage); the
+        # parametric EQ then runs in-jit on top of it
+        aug_base = batch.pop("wav_warped", batch["wav"])
         if augment_cfg is not None:
             from ttts_tpu.data.augment import apply_peq, sample_params
 
             p = sample_params(k_aug, batch["wav"].shape[0], augment_cfg)
             batch["wav_aug"] = apply_peq(
-                batch["wav"][..., 0], p["quality_power"], p["gain"], augment_cfg
+                aug_base[..., 0], p["quality_power"], p["gain"], augment_cfg
             )[..., None]
         else:
-            batch["wav_aug"] = batch["wav"]
+            batch["wav_aug"] = aug_base
     if "spec" not in batch:
         batch["spec"] = spec_of(batch["wav"])
     if "spec_aug" not in batch:
         batch["spec_aug"] = spec_of(batch["wav_aug"])
 
-    def run_gen(params, extra):
-        outs, mut = generator.apply(
-            {"params": params, **extra},
-            batch["wav"], batch["wav_aug"], batch["spec"], batch["spec_aug"],
-            batch["spec_lengths"], batch["text"], batch["text_lengths"],
-            train=True,
-            rngs={"noise": k_noise, "slice": k_slice, "vq": k_vq, "dropout": k_drop},
-            mutable=["codebook"],
+    # ---- ONE generator forward, shared by the D and G steps (the reference
+    # also runs a single forward, vqvae/train.py:345-406). jax.vjp keeps the
+    # residuals so the G gradient is pulled back through this same forward —
+    # no duplicate forward, no reliance on XLA CSE. Differentiable outputs
+    # are the vjp primal; ints/mutated collections ride along as aux.
+    def gen_fwd(g_params):
+        (y_hat, commit_loss, ids_slice, y_mask, stats, quantized), mut = (
+            generator.apply(
+                {"params": g_params, **g_state.extra_vars},
+                batch["wav"], batch["wav_aug"], batch["spec"], batch["spec_aug"],
+                batch["spec_lengths"], batch["text"], batch["text_lengths"],
+                train=True,
+                rngs={"noise": k_noise, "slice": k_slice, "vq": k_vq,
+                      "dropout": k_drop},
+                mutable=["codebook"],
+            )
         )
-        return outs, mut
+        return (y_hat, commit_loss, y_mask, stats), (mut, ids_slice, quantized)
 
-    # ---- generator forward (shared between D and G losses)
-    (y_hat, commit_loss, ids_slice, y_mask, stats, quantized), new_extra = run_gen(
-        g_state.params, g_state.extra_vars
+    diff_outs, gen_vjp, (new_extra, ids_slice, _) = jax.vjp(
+        gen_fwd, g_state.params, has_aux=True
     )
-    z, z_p, m_p, logs_p, m_q, logs_q = stats
+    y_hat, commit_loss, y_mask, stats = diff_outs
     y_real = slice_segments(batch["wav"], ids_slice * hop, seg_frames * hop)
 
     # ---- discriminator step (fake detached)
@@ -190,7 +201,7 @@ def vqvae_train_step(
     loss_disc, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
     new_d_state = d_state.apply_gradients(grads=d_grads)
 
-    # ---- generator step
+    # ---- generator step: grad wrt the forward's OUTPUTS, pulled back
     a = audio_cfg
 
     def mel_of(wav):
@@ -201,27 +212,27 @@ def vqvae_train_step(
 
     mel_real = mel_of(y_real)
 
-    def g_loss_fn(g_params):
-        (y_hat, commit_loss, ids_slice_g, y_mask, stats, _), mut = run_gen(
-            g_params, g_state.extra_vars
-        )
+    def g_loss_fn(outs):
+        y_hat, commit_loss, y_mask, stats = outs
         z, z_p, m_p, logs_p, m_q, logs_q = stats
-        y_real_g = slice_segments(batch["wav"], ids_slice_g * hop, seg_frames * hop)
+        # the G adversarial/fm losses see the UPDATED discriminator, matching
+        # the reference's optimizer ordering (vqvae/train.py:378-406)
         yr, yg, fr, fg = discriminator.apply(
-            {"params": new_d_state.params}, y_real_g, y_hat
+            {"params": new_d_state.params}, y_real, y_hat
         )
-        loss_mel = jnp.mean(jnp.abs(mel_of(y_real_g) - mel_of(y_hat))) * c_mel
+        loss_mel = jnp.mean(jnp.abs(mel_real - mel_of(y_hat))) * c_mel
         loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * c_kl
         loss_fm = feature_loss(fr, fg)
         loss_adv, _ = generator_loss(yg)
         total = loss_mel + loss_kl + loss_fm + loss_adv + commit_loss
-        return total, (mut, loss_mel, loss_kl, loss_fm, loss_adv, commit_loss)
+        return total, (loss_mel, loss_kl, loss_fm, loss_adv, commit_loss)
 
-    (loss_gen_all, (mut, loss_mel, loss_kl_v, loss_fm, loss_adv, commit)), g_grads = (
-        jax.value_and_grad(g_loss_fn, has_aux=True)(g_state.params)
+    (loss_gen_all, (loss_mel, loss_kl_v, loss_fm, loss_adv, commit)), out_grads = (
+        jax.value_and_grad(g_loss_fn, has_aux=True)(diff_outs)
     )
+    (g_grads,) = gen_vjp(out_grads)
     new_g_state = g_state.apply_gradients(grads=g_grads)
-    new_g_state = new_g_state.replace(extra_vars=dict(mut))
+    new_g_state = new_g_state.replace(extra_vars=dict(new_extra))
 
     metrics = {
         "loss_disc": loss_disc,
