@@ -104,3 +104,93 @@ class TestPrepareCLI:
                       "--noise-files", str(nf), "--out", str(out)])
         rows = read_manifest(out)
         assert len(rows) == 1 and rows[0]["path"] == "/x/1.wav"
+
+
+class TestSpectralGenderWarp:
+    """Praat-free formant/pitch warp (data/augment.py spectral_gender_warp —
+    the behavior class of augment/praat.py:26 'Change gender'). The round
+    trip must MEASURABLY shift pitch and formants."""
+
+    SR = 16000
+
+    @staticmethod
+    def _f0_acf(x, sr, lo=80.0, hi=500.0):
+        """Median F0 via frame autocorrelation."""
+        import numpy as np
+
+        n, hop = 1024, 512
+        f0s = []
+        for s in range(0, len(x) - n, hop):
+            fr = x[s:s + n] * np.hanning(n)
+            ac = np.correlate(fr, fr, "full")[n - 1:]
+            lag_lo, lag_hi = int(sr / hi), int(sr / lo)
+            lag = lag_lo + int(np.argmax(ac[lag_lo:lag_hi]))
+            if ac[lag] > 0.3 * ac[0]:
+                f0s.append(sr / lag)
+        import numpy as np
+        return float(np.median(f0s))
+
+    @staticmethod
+    def _envelope_peak(x, sr, lifter=32):
+        """Frequency of the spectral-envelope maximum (cepstral lifter)."""
+        import numpy as np
+
+        n = 2048
+        mid = len(x) // 2
+        fr = x[mid - n // 2: mid + n // 2] * np.hanning(n)
+        logm = np.log(np.abs(np.fft.rfft(fr)) + 1e-8)
+        cep = np.fft.irfft(logm)
+        cep[lifter:-lifter] = 0.0
+        env = np.fft.rfft(cep, n=n).real[: n // 2 + 1]
+        k = int(np.argmax(env[5:])) + 5  # skip DC bulge
+        return k * sr / n
+
+    def _vowel(self, f0=140.0, res=700.0, seconds=1.0):
+        """Impulse-train source through a single resonance — a synthetic
+        vowel with known pitch and formant."""
+        import numpy as np
+
+        sr = self.SR
+        t = np.arange(int(sr * seconds))
+        # band-limited pulse train: sum of harmonics below Nyquist/3
+        x = np.zeros_like(t, np.float64)
+        for h in range(1, int(sr / 3 / f0)):
+            x += np.sin(2 * np.pi * f0 * h * t / sr) / h
+        # resonance at `res` Hz (2nd-order peak filter via FFT shaping)
+        X = np.fft.rfft(x)
+        freqs = np.fft.rfftfreq(len(x), 1 / sr)
+        X *= np.exp(-0.5 * ((freqs - res) / 150.0) ** 2) + 0.05
+        x = np.fft.irfft(X, n=len(x))
+        return (x / np.max(np.abs(x))).astype(np.float32)
+
+    def test_pitch_shift_moves_f0_not_formant(self):
+        from ttts_tpu.data.augment import spectral_gender_warp
+
+        x = self._vowel()
+        y = spectral_gender_warp(x, self.SR, formant_shift=1.0, pitch_shift=1.4)
+        assert len(y) == len(x)
+        r = self._f0_acf(y, self.SR) / self._f0_acf(x, self.SR)
+        assert 1.25 < r < 1.55, f"f0 ratio {r} != 1.4"
+
+    def test_formant_shift_moves_envelope_not_f0(self):
+        from ttts_tpu.data.augment import spectral_gender_warp
+
+        x = self._vowel()
+        y = spectral_gender_warp(x, self.SR, formant_shift=1.3, pitch_shift=1.0)
+        rf = self._envelope_peak(y, self.SR) / self._envelope_peak(x, self.SR)
+        assert 1.15 < rf < 1.45, f"formant ratio {rf} != 1.3"
+        rp = self._f0_acf(y, self.SR) / self._f0_acf(x, self.SR)
+        assert 0.95 < rp < 1.05, f"f0 moved: {rp}"
+
+    def test_warp_batch_nan_retry_and_shape(self):
+        import numpy as np
+
+        from ttts_tpu.data.augment import AugmentConfig, warp_batch_np
+
+        rng = np.random.default_rng(0)
+        wavs = np.stack([self._vowel(), self._vowel(f0=200.0)])
+        cfg = AugmentConfig(sampling_rate=self.SR)
+        out = warp_batch_np(rng, wavs, cfg)
+        assert out.shape == wavs.shape
+        assert np.isfinite(out).all()
+        assert not np.allclose(out, wavs)  # something actually happened

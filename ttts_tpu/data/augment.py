@@ -152,12 +152,111 @@ def apply_peq(wavs: jax.Array, quality_power: jax.Array, gain: jax.Array,
     return out / jnp.maximum(jnp.max(jnp.abs(out), axis=-1, keepdims=True), 1e-7)
 
 
+# ------------------------------------------------- formant/pitch warp (host)
+# Praat-free implementation of the 'Change gender' behavior class
+# (augment/praat.py:26): constant-ratio pitch shift (phase-vocoder stretch +
+# resample) plus cepstral spectral-envelope warp for the formant factor.
+# Pure numpy, host-side — the same process boundary as the reference's
+# parselmouth call (CPU per sample). Praat remains the optional exact path.
+
+
+def _stft_np(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    pad = n_fft // 2
+    x = np.pad(x, (pad, pad), mode="reflect")
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None] + hop * np.arange(n_frames)[:, None]
+    return np.fft.rfft(x[idx] * win, axis=-1).T  # (F, T)
+
+
+def _istft_np(S: np.ndarray, n_fft: int, hop: int, length: int) -> np.ndarray:
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    frames = np.fft.irfft(S.T, n=n_fft, axis=-1) * win
+    t = S.shape[1]
+    out = np.zeros(n_fft + hop * (t - 1))
+    norm = np.zeros_like(out)
+    for i in range(t):  # overlap-add (host path, small clips)
+        out[i * hop : i * hop + n_fft] += frames[i]
+        norm[i * hop : i * hop + n_fft] += win**2
+    out = out / np.maximum(norm, 1e-8)
+    pad = n_fft // 2
+    return out[pad : pad + length]
+
+
+def _phase_vocoder(S: np.ndarray, rate: float, n_fft: int, hop: int) -> np.ndarray:
+    """Classic PV time-stretch: output has T/rate frames at unchanged pitch."""
+    f, t = S.shape
+    steps = np.arange(0, t, rate)
+    Sp = np.pad(S, ((0, 0), (0, 2)))
+    idx = steps.astype(np.int64)
+    frac = (steps - idx)[None, :]
+    mag = (1 - frac) * np.abs(Sp[:, idx]) + frac * np.abs(Sp[:, idx + 1])
+    phi_adv = (2 * np.pi * hop * np.arange(f) / n_fft)[:, None]
+    dphase = np.angle(Sp[:, idx + 1]) - np.angle(Sp[:, idx]) - phi_adv
+    dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
+    # accumulated synthesis phase: start at the first analysis phase
+    inc = phi_adv + dphase
+    phase = np.angle(S[:, :1]) + np.concatenate(
+        [np.zeros((f, 1)), np.cumsum(inc[:, :-1], axis=1)], axis=1
+    )
+    return mag * np.exp(1j * phase)
+
+
+def _pitch_shift_np(x: np.ndarray, factor: float, n_fft: int = 1024,
+                    hop: int = 256) -> np.ndarray:
+    """Shift pitch (and formants) by `factor`, duration preserved: PV stretch
+    to length·factor, then resample back to the original length."""
+    S = _stft_np(x, n_fft, hop)
+    S2 = _phase_vocoder(S, 1.0 / factor, n_fft, hop)
+    y = _istft_np(S2, n_fft, hop, int(round(len(x) * factor)))
+    pos = np.arange(len(x)) * (len(y) - 1) / max(len(x) - 1, 1)
+    return np.interp(pos, np.arange(len(y)), y)
+
+
+def _formant_warp_np(x: np.ndarray, factor: float, n_fft: int = 1024,
+                     hop: int = 256, lifter: int = 32) -> np.ndarray:
+    """Scale the spectral envelope's frequency axis by `factor` (cepstral
+    lifter envelope; excitation/pitch untouched)."""
+    S = _stft_np(x, n_fft, hop)
+    f = S.shape[0]
+    logm = np.log(np.abs(S) + 1e-8)
+    cep = np.fft.irfft(logm, axis=0)
+    cep[lifter:-lifter] = 0.0
+    env = np.fft.rfft(cep, n=2 * (f - 1), axis=0).real[:f]
+    src = np.arange(f) / factor  # env_w[k] = env[k/factor]
+    lo = np.clip(src.astype(np.int64), 0, f - 2)
+    fr = np.clip(src - lo, 0.0, 1.0)[:, None]
+    env_w = (1 - fr) * env[lo] + fr * env[lo + 1]
+    S2 = S * np.exp(env_w - env)
+    return _istft_np(S2, n_fft, hop, len(x))
+
+
+def spectral_gender_warp(wav: np.ndarray, sr: int, formant_shift: float,
+                         pitch_shift: float, pitch_range: float = 1.0) -> np.ndarray:
+    """Praat-free 'Change gender': pitch ×pitch_shift, formants
+    ×formant_shift, duration preserved. pitch_range (the variance scale
+    around the median) is a Praat-only refinement — the constant-ratio shift
+    covers the augmentation's behavior class (NANSY perturbs identity, not
+    prosody precision)."""
+    y = np.asarray(wav, np.float64)
+    p = float(pitch_shift)
+    if abs(p - 1.0) > 1e-3:
+        y = _pitch_shift_np(y, p)
+    g = float(formant_shift) / p  # pitch shift already scaled formants by p
+    if abs(g - 1.0) > 1e-3:
+        y = _formant_warp_np(y, g)
+    peak = np.max(np.abs(y))
+    if peak > 1.0:
+        y = y / peak
+    return y.astype(np.float32)
+
+
 def praat_augment(wav: np.ndarray, sr: int, formant_shift: float,
                   pitch_shift: float, pitch_range: float) -> np.ndarray:
-    """Praat 'Change gender' warp (augment/praat.py:26). Host-side; identity
-    when parselmouth is unavailable."""
+    """Praat 'Change gender' warp (augment/praat.py:26). Host-side; falls
+    back to the numpy spectral warp when parselmouth is unavailable."""
     if not HAVE_PRAAT:
-        return wav
+        return spectral_gender_warp(wav, sr, formant_shift, pitch_shift, pitch_range)
     snd = parselmouth.Sound(wav.astype(np.float64), sampling_frequency=sr)
     pitch = parselmouth.praat.call(snd, "To Pitch", 0.8 / 75, 75, 600)
     ndpit = pitch.selected_array["frequency"]
@@ -170,6 +269,33 @@ def praat_augment(wav: np.ndarray, sr: int, formant_shift: float,
     return np.asarray(out.values)[0].astype(np.float32)
 
 
+def warp_batch_np(rng: "np.random.Generator", wavs: np.ndarray,
+                  cfg: AugmentConfig, max_retries: int = 4) -> np.ndarray:
+    """Host-side formant/pitch warp for a (B, T) batch with the reference's
+    parameter sampling + NaN-retry (vqvae/train.py:62-116). Runs in loader
+    threads, off the jit path — the reference's praat call is CPU-side too."""
+    def shift(mx: float) -> float:
+        v = rng.uniform(1.0, mx)
+        return 1.0 / v if rng.random() < 0.5 else v
+
+    out = np.empty_like(wavs)
+    t = wavs.shape[1]
+    for i in range(wavs.shape[0]):
+        y = wavs[i]
+        for _ in range(max_retries):
+            cand = praat_augment(
+                wavs[i], cfg.sampling_rate, shift(cfg.formant_shift),
+                shift(cfg.pitch_shift), shift(cfg.pitch_range),
+            )
+            if np.isfinite(cand).all():
+                y = cand
+                break
+        y = y[:t]
+        out[i, : len(y)] = y
+        out[i, len(y):] = 0.0
+    return out
+
+
 def augment_batch(key, wavs: jax.Array, cfg: AugmentConfig,
                   use_praat: bool = True, max_retries: int = 4) -> jax.Array:
     """Full augmentation with NaN-retry (vqvae/train.py:100-116): resample
@@ -178,7 +304,7 @@ def augment_batch(key, wavs: jax.Array, cfg: AugmentConfig,
     for attempt in range(max_retries):
         p = sample_params(jax.random.fold_in(key, attempt), wavs.shape[0], cfg)
         cand = apply_peq(wavs, p["quality_power"], p["gain"], cfg)
-        if use_praat and HAVE_PRAAT:
+        if use_praat:  # Praat when available, numpy spectral warp otherwise
             host = np.asarray(cand)
             host = np.stack([
                 praat_augment(host[i], cfg.sampling_rate,
