@@ -1,77 +1,189 @@
-"""Headline benchmark: end-to-end zero-shot TTS RTF per chip (the driver
-north star: RTF < 0.05 on v5e).
+"""Benchmark suite: the five BASELINE.md configs at reference defaults.
 
-Runs the full serving pipeline at the reference v2 model sizes with fixed
-shapes (one 192-code ≈ 8.2 s utterance bucket): prompt conditioning → GPT
-KV-cache AR decode (192 steps) → GPT latent → 30-step DPM++(2M) with batched
-CFG → Vocos — all as the real jit programs from ttts_tpu.api.
+Headline (the ONE stdout JSON line the driver records): end-to-end zero-shot
+TTS RTF per chip at the REFERENCE inference contract — codec prompt extract
+in the measured path, 4 AR candidates, CLVP rerank, 50-step DPM++(2M)
+cond-free k=2 (ttts/diffusion/train.py:97-99, demo.ipynb cell 11), Vocos.
+North star: RTF < 0.05 per v5e chip; vs_baseline = 0.05 / RTF.
 
-Prints ONE JSON line {"metric","value","unit","vs_baseline"}; vs_baseline =
-0.05 / RTF (>1 beats the target). Falls back to the GPT decode-throughput
-metric if the full pipeline cannot run in this environment.
+The full table (all five configs + a serving-tuned row + per-stage
+throughput/MFU estimates) goes to stderr and BENCH_DETAIL.json:
+  1. codec mel+VQ encode/decode roundtrip on tests/assets/0.wav
+  2. batched VQ extraction (the 2_save_vq_to_disk.py artifact path)
+  3. GPT KV-cache AR decode tokens/sec
+  4. diffusion DPM++2M(50) + Vocos decode (plus Vocos-only mel-frames/sec)
+  5. full serving pipeline (headline) + serving-tuned variant (30 steps,
+     1 candidate — round-1's configuration, kept for continuity)
+
+MFU is an estimate: FLOPs ≈ 2·params·positions per forward (dense-dominated
+nets), against the v5e bf16 peak (197 TFLOP/s). Falls back to the GPT
+decode-throughput metric if the full pipeline cannot run here.
 """
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
 
+V5E_PEAK_FLOPS = 197e12  # bf16
+ASSET = pathlib.Path(__file__).parent / "tests" / "assets" / "0.wav"
 
-def bench_e2e():
+
+def _param_count(tree):
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "shape"))
+
+
+def _timeit(fn, iters=5):
+    fn()  # compile / warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_all():
     import jax
     import jax.numpy as jnp
 
     from ttts_tpu.api import TextToSpeech
     from ttts_tpu.config import default_config
+    from ttts_tpu.data.audio import load_wav
 
-    # codec conditioning (35 ms, measured separately) is excluded so the
-    # bench skips the codec's multi-minute init compile; prompt codes are
-    # synthetic with the same shapes.
-    tts = TextToSpeech(default_config(), seed=0,
-                       init_stages=("gpt", "diffusion", "vocos"))
+    rows = []
+    t_start = time.time()
+    tts = TextToSpeech(default_config(), seed=0)
     rng = np.random.default_rng(0)
+    n_params = {k: _param_count(v) for k, v in tts.params.items()}
+    print(f"[bench] init done in {time.time() - t_start:.1f}s; params(M): "
+          + ", ".join(f"{k}={v / 1e6:.1f}" for k, v in n_params.items()),
+          file=sys.stderr)
 
-    prompt_len = 48  # ≈2 s of 25 Hz prompt codes
-    codes = jnp.asarray(rng.integers(0, 1024, size=(1, prompt_len)))
-    refer = jnp.asarray(rng.standard_normal((1, 188, 100)).astype(np.float32))
-    lp = ((codes.shape[1] + 15) // 16) * 16
-    prompt = jnp.pad(codes, ((0, 0), (0, lp - codes.shape[1])))
-    ids = np.asarray(tts.tok.encode("ni3 hao3 shi4 jie4 jin1 tian1 tian1 qi4 hao3"),
-                     np.int32)
-    lt = ((len(ids) + 15) // 16) * 16
-    text_ids = jnp.asarray(np.pad(ids, (0, lt - len(ids))))[None]
+    voice, sr = load_wav(ASSET, target_sr=32000)
+    voice = voice[: 4 * 32000]  # 4 s prompt
 
-    bucket = 192  # 192 codes × 4 mel frames × 256 hop / 24 kHz = 8.192 s
-    gen_codes = jnp.zeros((1, bucket), jnp.int32)
-    audio_seconds = bucket * 4 * tts.cfg.vocos.hop_length / 24000.0
+    # ---- config 1: codec mel+VQ encode/decode roundtrip (api path) --------
+    hop = tts.cfg.audio.hop_length
+    wav32 = jnp.asarray(voice[: (len(voice) // hop) * hop])[None]
+    ids = np.asarray(tts.tok.encode("ni3 hao3 shi4 jie4"), np.int32)
+    text_ids = jnp.asarray(ids)[None]
 
-    def one_utterance(seed):
-        k1, k2 = jax.random.split(jax.random.key(seed))
-        sampled = tts._gpt_sample_fn(
-            tts.params["gpt"], text_ids, prompt, k1, bucket, 1, early_stop=False
-        )
-        wav = tts._tail_fn(
-            tts.params["gpt"], tts.params["diffusion"], tts.params["vocos"],
-            text_ids, gen_codes, jnp.asarray([bucket]), refer, k2,
-            30, bucket * 4, 2.0,
-        )
-        # force completion of both programs (tunnel can report early)
-        np.asarray(sampled)
+    from ttts_tpu.ops.mel import vits_spectrogram
+
+    def roundtrip():
+        codes = tts._extract_code_fn(tts.params["codec"], wav32)
+        spec = vits_spectrogram(wav32, tts.cfg.audio.filter_length, hop,
+                                tts.cfg.audio.win_length).swapaxes(1, 2)
+        wav = _codec_decode(tts.params["codec"], jnp.transpose(codes, (1, 0, 2)),
+                            text_ids, spec)
         return np.asarray(wav)
 
-    one_utterance(0)  # compile
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        one_utterance(i + 1)
-    dt = (time.perf_counter() - t0) / iters
+    _codec_decode = jax.jit(lambda p, c, t, s: tts.codec.apply(
+        p, c, t, s, method=tts.codec.decode, rngs={"noise": jax.random.key(0)}))
+    secs1 = wav32.shape[1] / 32000.0
+    dt1 = _timeit(roundtrip, iters=3)
+    rows.append({"config": "1_codec_roundtrip", "rtf": round(dt1 / secs1, 5),
+                 "wall_s": round(dt1, 4), "audio_s": round(secs1, 3)})
 
-    rtf = dt / audio_seconds
+    # ---- config 2: batched VQ extraction -----------------------------------
+    b2, secs_each = 8, 8.0
+    wavs = jnp.asarray(
+        rng.standard_normal((b2, int(secs_each * 32000) // hop * hop)).astype(np.float32) * 0.1)
+
+    dt2 = _timeit(lambda: np.asarray(tts._extract_code_fn(tts.params["codec"], wavs)))
+    xrt2 = (b2 * secs_each) / dt2
+    rows.append({"config": "2_batched_vq_extract", "audio_sec_per_sec": round(xrt2, 1),
+                 "wall_s": round(dt2, 4), "batch": b2})
+
+    # ---- config 3: GPT AR decode -------------------------------------------
+    b3, gen_len = 8, 200
+    text3 = jnp.asarray(rng.integers(1, 255, size=(b3, 64)))
+    prompt3 = jnp.asarray(rng.integers(0, 1024, size=(b3, 48)))
+
+    dt3 = _timeit(lambda: np.asarray(tts._gpt_sample_fn(
+        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1), gen_len,
+        b3, early_stop=False)))
+    toks = b3 * gen_len / dt3
+    gpt_mfu = 2 * n_params["gpt"] * toks / V5E_PEAK_FLOPS
+    rows.append({"config": "3_gpt_ar_decode", "tokens_per_sec": round(toks, 1),
+                 "batch": b3, "gen_len": gen_len, "mfu_est": round(gpt_mfu, 5)})
+
+    # ---- config 4: diffusion(50) + vocos ------------------------------------
+    bucket = 192                      # 8.192 s utterance
+    out_len = bucket * 4
+    latent = jnp.asarray(rng.standard_normal(
+        (1, bucket, tts.cfg.diffusion_net.in_latent_channels)).astype(np.float32))
+    refer = jnp.asarray(rng.standard_normal((1, 188, 100)).astype(np.float32))
+    audio4 = out_len * tts.cfg.vocos.hop_length / 24000.0
+
+    def diff_vocos():
+        mel = tts._diffusion_decode(latent, refer, jax.random.key(2), 50, out_len)
+        return np.asarray(tts._vocode(mel))
+
+    dt4 = _timeit(diff_vocos, iters=3)
+    # 50 steps × 2B CFG forwards over out_len frames
+    diff_flops = 2 * n_params["diffusion"] * out_len * 2 * 50
+    rows.append({"config": "4_diffusion50_vocos", "rtf": round(dt4 / audio4, 5),
+                 "wall_s": round(dt4, 4), "audio_s": round(audio4, 3),
+                 "mfu_est": round(diff_flops / dt4 / V5E_PEAK_FLOPS, 4)})
+
+    mel4 = tts._diffusion_decode(latent, refer, jax.random.key(2), 50, out_len)
+    dtv = _timeit(lambda: np.asarray(tts._vocode(mel4)))
+    rows.append({"config": "4b_vocos_only",
+                 "mel_frames_per_sec": round(out_len / dtv, 1),
+                 "audio_sec_per_sec": round(audio4 / dtv, 1),
+                 "mfu_est": round(2 * n_params["vocos"] * out_len / dtv
+                                  / V5E_PEAK_FLOPS, 4)})
+
+    # ---- config 5: full serving pipeline (headline, reference defaults) ----
+    text = "ni3 hao3 shi4 jie4 jin1 tian1 tian1 qi4 zhen1 hao3 wo3 men5 chu1 qu4 wan2"
+
+    def full(seed):
+        w = tts.tts(text, voice, 32000, preset="fast", max_generate_length=256,
+                    seed=seed)
+        return w
+
+    w0 = full(0)
+    # fixed seed → stable code bucket; audio seconds from the actual output
+    audio5 = len(w0) / 24000.0
+    dt5 = _timeit(lambda: full(0), iters=3)
+    rtf5 = dt5 / audio5
+    rows.append({"config": "5_full_pipeline_reference_defaults",
+                 "rtf": round(rtf5, 5), "wall_s": round(dt5, 4),
+                 "audio_s": round(audio5, 3),
+                 "note": "codec extract + 4 AR candidates + CLVP rerank + DPM++2M(50) k=2 + Vocos"})
+
+    # serving-tuned row (round-1 configuration: 1 candidate, 30 steps)
+    def tuned(seed):
+        return tts.tts(text, voice, 32000, preset="ultra_fast",
+                       max_generate_length=256, seed=seed,
+                       voice_cache_key="v")  # conditioning cached
+
+    w1 = tuned(0)
+    audio6 = len(w1) / 24000.0
+    dt6 = _timeit(lambda: tuned(0), iters=3)
+    rows.append({"config": "5b_serving_tuned", "rtf": round(dt6 / audio6, 5),
+                 "wall_s": round(dt6, 4), "audio_s": round(audio6, 3),
+                 "note": "1 AR candidate, 30 steps, cached conditioning (round-1 headline config)"})
+
+    detail = {"rows": rows, "params_M": {k: round(v / 1e6, 2) for k, v in n_params.items()},
+              "peak_flops_assumed": V5E_PEAK_FLOPS,
+              "total_bench_wall_s": round(time.time() - t_start, 1)}
+    print(json.dumps(detail, indent=1), file=sys.stderr)
+    try:
+        pathlib.Path("BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    except OSError:
+        pass
+
     return {
         "metric": "e2e_tts_rtf_per_chip",
-        "value": round(rtf, 4),
-        "unit": "wall-sec per audio-sec (GPT192+DPM++30+Vocos, 8.2s utterance)",
-        "vs_baseline": round(0.05 / rtf, 3),
+        "value": round(rtf5, 4),
+        "unit": "wall-sec per audio-sec (reference defaults: codec extract + GPT 4-cand + CLVP + DPM++2M(50) + Vocos)",
+        "vs_baseline": round(0.05 / rtf5, 3),
     }
 
 
@@ -125,8 +237,10 @@ def bench_gpt_decode():
 
 def main():
     try:
-        result = bench_e2e()
-    except Exception:
+        result = bench_all()
+    except Exception as e:  # graceful degradation — headline must still print
+        print(f"[bench] full suite failed ({type(e).__name__}: {e}); "
+              "falling back to GPT decode", file=sys.stderr)
         result = bench_gpt_decode()
     print(json.dumps(result))
 

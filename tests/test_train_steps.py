@@ -183,3 +183,45 @@ class TestCLVPStep:
         for i in range(10):
             state, m = step(state, batch, jax.random.fold_in(key, i))
         assert float(m["loss"]) < float(m0["loss"])
+
+
+class TestNonFiniteGuard:
+    """apply_gradients_safe (SURVEY §5.2): a NaN/inf gradient step must be
+    skipped in-jit — params, opt_state, and EMA pass through unchanged and
+    the metric flag reports the skip."""
+
+    def _state(self):
+        import optax
+
+        params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+        return TrainState.create(
+            apply_fn=lambda p, x: x, params=params,
+            tx=make_adamw(1e-2, warmup_steps=1),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        )
+
+    def test_finite_grads_apply(self):
+        from ttts_tpu.train.steps import apply_gradients_safe
+
+        state = self._state()
+        grads = {"w": jnp.full((3,), 0.5), "b": jnp.full((2,), -0.5)}
+        new_state, norm, finite = jax.jit(apply_gradients_safe)(state, grads)
+        assert bool(finite)
+        assert np.isfinite(float(norm))
+        assert int(new_state.step) == 1
+        assert not np.allclose(np.asarray(new_state.params["w"]),
+                               np.asarray(state.params["w"]))
+
+    def test_nonfinite_grads_skip(self):
+        from ttts_tpu.train.steps import apply_gradients_safe
+
+        state = self._state()
+        grads = {"w": jnp.array([1.0, jnp.nan, 2.0]), "b": jnp.full((2,), jnp.inf)}
+        new_state, norm, finite = jax.jit(apply_gradients_safe)(state, grads)
+        assert not bool(finite)
+        np.testing.assert_array_equal(np.asarray(new_state.params["w"]),
+                                      np.asarray(state.params["w"]))
+        np.testing.assert_array_equal(np.asarray(new_state.params["b"]),
+                                      np.asarray(state.params["b"]))
+        # step counter also frozen — the skipped step does not advance schedules
+        assert int(new_state.step) == int(state.step)

@@ -107,6 +107,13 @@ class RelativePositionBias(nn.Module):
     def setup(self):
         self.table = nn.Embed(self.num_buckets, self.heads)
 
+    def strip(self, t: int) -> jax.Array:
+        """(heads, 2t−1) Toeplitz diagonal values (bias[h,i,j] = strip[h,
+        j−i+t−1]) — the form the Pallas flash-attention kernel consumes."""
+        rel_1d = np.arange(-(t - 1), t)
+        buckets = jnp.asarray(_t5_bucket(rel_1d, self.num_buckets, self.max_distance))
+        return jnp.transpose(self.table(buckets), (1, 0)) * self.scale
+
     def bias(self, i: int, j: int) -> jax.Array:
         from ttts_tpu.models.blocks import _rel_to_abs
 
@@ -143,6 +150,10 @@ class AttentionBlock(nn.Module):
     num_heads: int = 1
     relative_pos_embeddings: bool = True
     dtype: Any = jnp.float32
+    # Pallas fused attention (ops/pallas/attention.py): scores never touch
+    # HBM. Used on the per-step trunk path (T is a multiple of 128 there);
+    # when flash is set, a precomputed rel_bias is the (H, 2T−1) STRIP.
+    flash: bool = False
 
     def setup(self):
         c = self.channels
@@ -154,7 +165,18 @@ class AttentionBlock(nn.Module):
             self.relpos = RelativePositionBias(heads=self.num_heads, scale=dk**0.5)
 
     def rel_bias(self, t: int):
-        return self.relpos.bias(t, t) if self.relative_pos_embeddings else None
+        if not self.relative_pos_embeddings:
+            return None
+        return self.relpos.strip(t) if self._use_flash(t) else self.relpos.bias(t, t)
+
+    def _use_flash(self, t: int) -> bool:
+        # measured on v5e at the trunk shape (H=16, D=32): XLA's fused
+        # attention beats the kernel below ~1.5k frames (382 vs 421 µs at
+        # T=768) because the hoisted-bias softmax chain is bandwidth-cheap
+        # there; past that the (B,H,T,T) scores blow up (the XLA path OOMs
+        # at T=2560) and the kernel is the only viable route.
+        return (self.flash and t % 128 == 0 and t >= 1536
+                and jax.default_backend() not in ("cpu",))
 
     def __call__(self, x, rel_bias=None):
         b, t, c = x.shape
@@ -164,6 +186,14 @@ class AttentionBlock(nn.Module):
         # legacy layout: per head, [q;k;v] channels (utils.py:155)
         qkv = qkv.reshape(b, t, h, 3 * dk)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self._use_flash(t):
+            from ttts_tpu.ops.pallas.attention import flash_attention
+
+            strip = rel_bias
+            if strip is None and self.relative_pos_embeddings:
+                strip = self.relpos.strip(t)
+            a = flash_attention(q, k, v, strip=strip, scale=1.0 / math.sqrt(dk))
+            return x + self.proj(a.reshape(b, t, c))
         scale = 1.0 / math.sqrt(math.sqrt(dk))
         w = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
         if self.relative_pos_embeddings:
@@ -211,12 +241,14 @@ class DiffusionLayer(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    flash: bool = False
 
     def setup(self):
         self.resblk = ScaleShiftResBlock(self.channels, self.channels,
                                          self.channels, self.dropout,
                                          dtype=self.dtype)
-        self.attn = AttentionBlock(self.channels, self.num_heads, dtype=self.dtype)
+        self.attn = AttentionBlock(self.channels, self.num_heads, dtype=self.dtype,
+                                   flash=self.flash)
 
     def __call__(self, x, time_emb, deterministic=True, rel_bias=None):
         y = self.resblk(x, time_emb, deterministic)
@@ -263,6 +295,10 @@ class RefEncoder(nn.Module):
 class AA_diffusion(nn.Module):
     cfg: DiffusionNetConfig
     dtype: Any = jnp.float32  # trunk activation dtype; bf16 on TPU inference
+    # Pallas fused attention for the PER-STEP path (integrator + trunk
+    # layers, which run at out_len — a multiple of 128). The once-per-
+    # utterance conditioning encoders keep the XLA path (arbitrary lengths).
+    flash: bool = False
 
     def setup(self):
         c = self.cfg
@@ -280,7 +316,8 @@ class AA_diffusion(nn.Module):
             "unconditioned_embedding", nn.initializers.normal(1.0), (1, 1, ch)
         )
         self.conditioning_timestep_integrator = [
-            DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype)
+            DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype,
+                           flash=self.flash)
             for _ in range(3)
         ]
         self.refer_conv = nn.Conv(ch, (3,), padding="SAME")
@@ -288,7 +325,8 @@ class AA_diffusion(nn.Module):
         self.refer_pool = RefEncoder(ch)
         self.integrating_conv = nn.Dense(ch)
         self.layers = [
-            DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype)
+            DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype,
+                           flash=self.flash)
             for _ in range(c.num_layers)
         ] + [
             ScaleShiftResBlock(ch, ch, ch, c.dropout, dtype=self.dtype)

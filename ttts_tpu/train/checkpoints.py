@@ -31,6 +31,8 @@ class CheckpointManager:
         )
 
     def save(self, step: int, tree: Any, wait: bool = True):
+        """wait=False → async save (Orbax background write); the trainer
+        overlaps checkpoint IO with compute and finalizes on exit."""
         self._mgr.save(step, args=ocp.args.StandardSave(tree))
         if wait:
             self._mgr.wait_until_finished()
@@ -49,6 +51,7 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def close(self):
+        self._mgr.wait_until_finished()  # finalize any in-flight async save
         self._mgr.close()
 
 

@@ -53,14 +53,15 @@ def gpt_train_step(state: TrainState, batch: Dict[str, jax.Array], key,
         return text_weight * lt + mel_weight * lm, (lt, lm)
 
     (loss, (lt, lm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    new_state = state.apply_gradients(grads=grads)
+    new_state, grad_norm, finite = apply_gradients_safe(state, grads)
     if state.ema_params is not None:
-        new_state = new_state.replace(
-            ema_params=ema_update(state.ema_params, new_state.params)
-        )
+        ema = ema_update(state.ema_params, new_state.params)
+        ema = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(finite, a, b), ema, state.ema_params)
+        new_state = new_state.replace(ema_params=ema)
     metrics = {
         "loss": loss, "loss_text": lt, "loss_mel": lm,
-        "grad_norm": optax_global_norm(grads),
+        "grad_norm": grad_norm, "nonfinite_skipped": 1.0 - finite,
     }
     return new_state, metrics
 
@@ -69,6 +70,25 @@ def optax_global_norm(tree):
     return jnp.sqrt(
         sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
     )
+
+
+def apply_gradients_safe(state: TrainState, grads):
+    """Apply gradients only when they are finite (SURVEY §5.2: the reference
+    has no systematic NaN/overflow guards — just a commented
+    detect_anomaly, diffusion/train.py:155). A non-finite step is skipped
+    in-jit (state passes through unchanged) and reported via the returned
+    flag so the trainer can count/log it."""
+    norm = optax_global_norm(grads)
+    finite = jnp.isfinite(norm)
+    safe_grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+    )
+    new_state = state.apply_gradients(grads=safe_grads)
+    merged = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(finite, a, b) if hasattr(a, "dtype") else a,
+        new_state, state,
+    )
+    return merged, norm, finite
 
 
 # ---------------------------------------------------------------- diffusion
@@ -105,9 +125,10 @@ def diffusion_train_step(state: TrainState, batch, key, model, diffuser,
         return jnp.mean(losses["loss"]), (jnp.mean(losses["mse"]), jnp.mean(losses["vb"]))
 
     (loss, (mse, vb)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    new_state = state.apply_gradients(grads=grads)
+    new_state, grad_norm, finite = apply_gradients_safe(state, grads)
     return new_state, {"loss": loss, "mse": mse, "vb": vb,
-                       "grad_norm": optax_global_norm(grads)}
+                       "grad_norm": grad_norm,
+                       "nonfinite_skipped": 1.0 - finite}
 
 
 # ------------------------------------------------------------------- VQ-VAE
@@ -257,8 +278,9 @@ def clvp_train_step(state: TrainState, batch, key, model):
         )
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    new_state = state.apply_gradients(grads=grads)
-    return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+    new_state, grad_norm, finite = apply_gradients_safe(state, grads)
+    return new_state, {"loss": loss, "grad_norm": grad_norm,
+                       "nonfinite_skipped": 1.0 - finite}
 
 
 # --------------------------------------------------------------- classifier

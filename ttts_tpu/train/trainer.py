@@ -104,8 +104,10 @@ class Trainer:
                 self.writer.summarize(self.step, scalars=metrics)
                 self.logger.info("step %d %s", self.step, metrics)
             if self.step % self.save_freq == 0:
-                self.ckpt.save(self.step, self.state)
+                # async: Orbax writes in the background while training
+                # continues; the final save below (and close()) finalizes
+                self.ckpt.save(self.step, self.state, wait=False)
             if self.eval_fn is not None and self.step % self.eval_freq == 0:
                 self.eval_fn(self.step, self.state, self.writer)
-        self.ckpt.save(self.step, self.state)
+        self.ckpt.save(self.step, self.state, wait=True)
         return self.state
