@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ttts_tpu.config import TTTSConfig, default_config
-from ttts_tpu.diffusion.dpm import cfg_eps_fn, dpm_solver_pp_2m_sample
+from ttts_tpu.diffusion import get_ode_sampler
+from ttts_tpu.diffusion.dpm import cfg_eps_fn
 from ttts_tpu.models.clvp import CLVP
 from ttts_tpu.models.diffusion_net import (
     AA_diffusion,
@@ -74,7 +75,12 @@ class TextToSpeech:
             c.vqvae, spec_channels=c.audio.filter_length // 2 + 1,
             segment_frames=c.train.segment_size // c.audio.hop_length,
         )
-        self.diffusion_net = AA_diffusion(c.diffusion_net, dtype=act_dtype)
+        # Pallas fused attention on the per-step trunk path when a real
+        # accelerator backs the session (CPU keeps the XLA path)
+        self.diffusion_net = AA_diffusion(
+            c.diffusion_net, dtype=act_dtype,
+            flash=jax.default_backend() not in ("cpu",),
+        )
         self.vocos = Vocos(c.vocos)
         self.clvp = CLVP(c.clvp)
         self.params = params if params is not None else self._random_init(
@@ -236,7 +242,8 @@ class TextToSpeech:
             noise = jax.random.normal(
                 key, (latent.shape[0], out_len, self.cfg.diffusion_net.in_channels)
             )
-            mel_norm = dpm_solver_pp_2m_sample(eps_fn, noise, steps=steps)
+            sample = get_ode_sampler(self.cfg.diffusion.sampler)
+            mel_norm = sample(eps_fn, noise, steps=steps)
             return denormalize_tacotron_mel(mel_norm)
 
         return jax.jit(fn, static_argnames=("steps", "out_len"))
@@ -295,9 +302,8 @@ class TextToSpeech:
             noise = jax.random.normal(
                 key, (latent.shape[0], out_len, self.cfg.diffusion_net.in_channels)
             )
-            mel = denormalize_tacotron_mel(
-                dpm_solver_pp_2m_sample(eps_fn, noise, steps=steps)
-            )
+            sample = get_ode_sampler(self.cfg.diffusion.sampler)
+            mel = denormalize_tacotron_mel(sample(eps_fn, noise, steps=steps))
             return self.vocos.apply(vocos_params, mel)
 
         return jax.jit(fn, static_argnames=("steps", "out_len"))
