@@ -170,6 +170,27 @@ def bench_all():
                  "wall_s": round(dt6, 4), "audio_s": round(audio6, 3),
                  "note": "1 AR candidate, 30 steps, cached conditioning (round-1 headline config)"})
 
+    # batched streams (BASELINE config 5 "batched"): 4 texts, one voice, one
+    # GPT batch + one diffusion/vocoder batch (api.tts_batch)
+    texts = [text,
+             "jin1 tian1 xing1 qi1 liu4 wo3 men5 qu4 gong1 yuan2 san4 bu4",
+             "zhe4 ge4 wen4 ti2 hen3 you3 yi4 si1 rang4 wo3 xiang3 yi2 xia4",
+             "huan1 ying2 da4 jia1 shou1 kan4 jin1 tian1 de5 jie2 mu4"]
+
+    def batched(seed):
+        return tts.tts_batch(texts, voice, 32000, preset="fast",
+                             max_generate_length=256, seed=seed,
+                             voice_cache_key="v")
+
+    wavs = batched(0)
+    audio7 = sum(len(w) for w in wavs) / 24000.0
+    dt7 = _timeit(lambda: batched(0), iters=3)
+    rows.append({"config": "5c_batched_streams", "streams": len(texts),
+                 "rtf": round(dt7 / audio7, 5), "wall_s": round(dt7, 4),
+                 "audio_s": round(audio7, 3),
+                 "audio_sec_per_sec": round(audio7 / dt7, 1),
+                 "note": "4 texts × 4 AR candidates in one GPT batch; one diffusion/vocoder batch; cached conditioning"})
+
     detail = {"rows": rows, "params_M": {k: round(v / 1e6, 2) for k, v in n_params.items()},
               "peak_flops_assumed": V5E_PEAK_FLOPS,
               "total_bench_wall_s": round(time.time() - t_start, 1)}

@@ -133,3 +133,37 @@ class TestShardMapSync:
         cs = np.asarray(cs).reshape(8, -1)
         np.testing.assert_array_equal(emb, np.broadcast_to(emb[0], emb.shape))
         np.testing.assert_array_equal(cs, np.broadcast_to(cs[0], cs.shape))
+
+
+class TestKmeansSeeding:
+    """The kmeans_seeding flag (VQVAEConfig.kmeans_seeding): "uniform" matches
+    the reference's core_vq.py:76 sample_vectors seeding; "farthest_point"
+    (default) is our fix. Both must produce a working init; farthest-point
+    must cover well-separated clusters at least as well."""
+
+    def _commit_after_init(self, rng, seeding):
+        x = jnp.asarray(_clustered_data(rng, k=8))
+        state = rvq_init(jax.random.key(0), n_q=1, bins=8, dim=16)
+        _, _, commit, state = rvq_forward(state, x, jax.random.key(1),
+                                          train=True, kmeans_seeding=seeding)
+        assert bool(state.inited)
+        return float(commit), state
+
+    def test_uniform_seeding_initializes(self, rng):
+        commit, state = self._commit_after_init(rng, "uniform")
+        assert np.isfinite(commit)
+        assert np.isfinite(np.asarray(state.embed)).all()
+
+    def test_farthest_point_covers_no_worse(self, rng):
+        c_fp, _ = self._commit_after_init(rng, "farthest_point")
+        c_un, _ = self._commit_after_init(rng, "uniform")
+        # on 8 well-separated clusters with 8 codes, farthest-point seeding
+        # should reach at-most-equal residual (uniform may collapse clusters)
+        assert c_fp <= c_un + 1e-6
+
+    def test_unknown_seeding_raises(self, rng):
+        x = jnp.asarray(_clustered_data(rng, k=4))
+        state = rvq_init(jax.random.key(0), n_q=1, bins=4, dim=16)
+        with np.testing.assert_raises(NotImplementedError):
+            rvq_forward(state, x, jax.random.key(1), train=True,
+                        kmeans_seeding="bogus")

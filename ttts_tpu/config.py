@@ -107,6 +107,9 @@ class VQVAEConfig:
     n_q: int = 1
     codebook_bins: int = 1024
     codebook_decay: float = 0.99
+    # k-means codebook seeding: "farthest_point" (our fix, see quantize.py
+    # _kmeans) or "uniform" (the reference's core_vq.py:76 behavior)
+    kmeans_seeding: str = "farthest_point"
     # text side
     n_text_tokens: int = 256
 

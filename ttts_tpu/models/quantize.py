@@ -75,28 +75,37 @@ def _sample_vectors(key: jax.Array, samples: jax.Array, num: int) -> jax.Array:
     return samples[idx]
 
 
-def _kmeans(key: jax.Array, samples: jax.Array, num_clusters: int, num_iters: int = 10):
+def _kmeans(key: jax.Array, samples: jax.Array, num_clusters: int,
+            num_iters: int = 10, seeding: str = "farthest_point"):
     """k-means with a 500-sample cap (core_vq.py:71-93). Static shapes.
 
-    Seeding is farthest-point (kmeans++-style) rather than the reference's
-    uniform sample (core_vq.py:76), which collapses clusters on well-separated
-    data; Lloyd iterations and the empty-cluster rule match the reference.
+    Default seeding is farthest-point (kmeans++-style) rather than the
+    reference's uniform sample (core_vq.py:76), which collapses clusters on
+    well-separated data; pass seeding="uniform" for the reference's exact
+    training dynamics. Lloyd iterations and the empty-cluster rule match the
+    reference either way.
     """
     samples = samples[:500]
     n = samples.shape[0]
-    first = jax.random.randint(key, (), 0, n)
-    means0 = jnp.zeros((num_clusters, samples.shape[-1]), samples.dtype)
-    means0 = means0.at[0].set(samples[first])
-    mind0 = jnp.sum((samples - means0[0]) ** 2, -1)
+    if seeding == "uniform":
+        # sample_vectors semantics (core_vq.py:60-68, 76)
+        means = _sample_vectors(key, samples, num_clusters)
+    elif seeding == "farthest_point":
+        first = jax.random.randint(key, (), 0, n)
+        means0 = jnp.zeros((num_clusters, samples.shape[-1]), samples.dtype)
+        means0 = means0.at[0].set(samples[first])
+        mind0 = jnp.sum((samples - means0[0]) ** 2, -1)
 
-    def seed_step(i, carry):
-        means, mind = carry
-        idx = jnp.argmax(mind)
-        means = means.at[i].set(samples[idx])
-        mind = jnp.minimum(mind, jnp.sum((samples - means[i]) ** 2, -1))
-        return means, mind
+        def seed_step(i, carry):
+            means, mind = carry
+            idx = jnp.argmax(mind)
+            means = means.at[i].set(samples[idx])
+            mind = jnp.minimum(mind, jnp.sum((samples - means[i]) ** 2, -1))
+            return means, mind
 
-    means, _ = jax.lax.fori_loop(1, num_clusters, seed_step, (means0, mind0))
+        means, _ = jax.lax.fori_loop(1, num_clusters, seed_step, (means0, mind0))
+    else:
+        raise NotImplementedError(f"unknown k-means seeding {seeding!r}")
 
     def step(_, means):
         dists = (
@@ -233,6 +242,7 @@ def rvq_forward(
     epsilon: float = 1e-5,
     threshold_ema_dead_code: float = 2.0,
     axis_name: Optional[str] = None,
+    kmeans_seeding: str = "farthest_point",
 ):
     """Full RVQ training/eval forward.
 
@@ -252,7 +262,8 @@ def rvq_forward(
             data = _global_pool(axis_name, flat)
             for i in range(state.embed.shape[0]):
                 ki = jax.random.fold_in(key, 1000 + i)
-                m, c = _kmeans(ki, data, st.embed.shape[1])
+                m, c = _kmeans(ki, data, st.embed.shape[1],
+                               seeding=kmeans_seeding)
                 embeds.append(m)
                 counts.append(c)
                 # next layer initializes on this layer's residuals

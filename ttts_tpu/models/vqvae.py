@@ -51,6 +51,9 @@ class ResidualVQ(nn.Module):
     n_q: int = 1
     bins: int = 1024
     decay: float = 0.99
+    # "farthest_point" (our fix) or "uniform" (the reference's exact
+    # core_vq.py:76 seeding, for training-dynamics parity studies)
+    kmeans_seeding: str = "farthest_point"
 
     def setup(self):
         self._cb = self.variable(
@@ -66,7 +69,8 @@ class ResidualVQ(nn.Module):
         else:
             key = jax.random.key(0)
         q, codes, loss, new_state = rvq_forward(
-            var.value, x, key, train=train and not self.is_initializing(), decay=self.decay
+            var.value, x, key, train=train and not self.is_initializing(),
+            decay=self.decay, kmeans_seeding=self.kmeans_seeding,
         )
         if train and not self.is_initializing():
             var.value = new_state
@@ -366,7 +370,8 @@ class SynthesizerTrn(nn.Module):
             gin_channels=c.gin_channels,
         )
         self.quantizer = ResidualVQ(
-            dim=c.inter_channels, n_q=c.n_q, bins=c.codebook_bins, decay=c.codebook_decay
+            dim=c.inter_channels, n_q=c.n_q, bins=c.codebook_bins,
+            decay=c.codebook_decay, kmeans_seeding=c.kmeans_seeding,
         )
         # stride-2 content projection (vq2.py:836) — 25 Hz semantic rate
         self.proj = Conv1d(c.inter_channels, 2, stride=2, padding=(0, 0))
