@@ -20,3 +20,32 @@ def test_tts_batch_smoke():
     for w in wavs:
         assert w.ndim == 1 and w.shape[0] > 500
         assert np.isfinite(w).all()
+
+
+@pytest.mark.slow
+def test_tts_batch_mesh_matches_single_device():
+    """Data-parallel serving (TextToSpeech(mesh=...)): 8 streams sharded over
+    the 8-device 'data' axis must produce the same audio as the unsharded
+    run — every stream is independent, so GSPMD partitioning is exact."""
+    import jax
+
+    from ttts_tpu.parallel import make_mesh
+    from ttts_tpu.config import MeshConfig
+
+    rng = np.random.default_rng(0)
+    voice = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    texts = ["ni3 hao3", "shi4 jie4 hao3", "jin1 tian1", "tian1 qi4 hao3"] * 2
+
+    tts = TextToSpeech(TINY, seed=0)
+    ref = tts.tts_batch(texts, voice, 32000, preset="ultra_fast",
+                        max_generate_length=32, voice_cache_key="v0")
+
+    mesh = make_mesh(MeshConfig(data=8, model=1), devices=jax.devices()[:8])
+    tts_m = TextToSpeech(TINY, seed=0, params=tts.params, mesh=mesh)
+    out = tts_m.tts_batch(texts, voice, 32000, preset="ultra_fast",
+                          max_generate_length=32, voice_cache_key="v0")
+
+    assert len(out) == len(ref) == 8
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)

@@ -62,7 +62,13 @@ class TextToSpeech:
 
     def __init__(self, cfg: Optional[TTTSConfig] = None, params: Optional[Dict] = None,
                  seed: int = 0, use_bf16: Optional[bool] = None,
-                 init_stages: Optional[tuple] = None):
+                 init_stages: Optional[tuple] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis for
+        data-parallel batched serving — params replicate across the mesh and
+        `tts_batch` shards its stream batch over 'data' (GSPMD inserts no
+        collectives on this path: every stream is independent, so scaling is
+        embarrassingly parallel across chips). Single-utterance `tts` runs
+        replicated."""
         self.cfg = cfg or default_config()
         self.tok = default_tokenizer()
         c = self.cfg
@@ -86,11 +92,29 @@ class TextToSpeech:
         self.params = params if params is not None else self._random_init(
             seed, init_stages or self.ALL_STAGES
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from ttts_tpu.parallel import replicate, with_sharding
+
+            self.params = with_sharding(self.params, replicate(mesh))
         # conditioning cache: voice id → (prompt_codes, refer_mel)
         self._cond_cache: Dict[str, tuple] = {}
         # serving weight cache: stage → (source_tree, bf16-cast tree)
         self._use_bf16 = use_bf16
         self._cast_cache: Dict[str, tuple] = {}
+
+    def _shard_stream_batch(self, x: jax.Array) -> jax.Array:
+        """Place a (B, ...) serving batch on the mesh 'data' axis when B
+        divides evenly; otherwise leave it replicated (still correct — GSPMD
+        just runs the program unsharded)."""
+        if self.mesh is None:
+            return x
+        from ttts_tpu.parallel import shard_batch
+
+        n_data = self.mesh.shape.get("data", 1)
+        if x.shape[0] % n_data != 0:
+            return x
+        return jax.device_put(x, shard_batch(self.mesh, x.ndim))
 
     def _serve_params(self, stage: str):
         """Matmul weights in bf16 for the bandwidth-bound serving programs
@@ -426,8 +450,9 @@ class TextToSpeech:
         )
         text_b = jnp.repeat(text_ids, k, axis=0)  # (N*k, lt)
         codes = self._gpt_sample_fn(
-            self._serve_params("gpt"), text_b, prompt_b, k1,
-            max_generate_length, 1
+            self._serve_params("gpt"),
+            self._shard_stream_batch(text_b), self._shard_stream_batch(prompt_b),
+            k1, max_generate_length, 1
         )  # (N*k, T) — batch already expanded
 
         if k > 1:
@@ -453,7 +478,10 @@ class TextToSpeech:
         wav = self._tail_fn(
             self._serve_params("gpt"), self._serve_params("diffusion"),
             self.params["vocos"],
-            text_ids, jnp.asarray(clean), jnp.asarray(code_lens), refer_b, k2,
+            self._shard_stream_batch(text_ids),
+            self._shard_stream_batch(jnp.asarray(clean)),
+            self._shard_stream_batch(jnp.asarray(code_lens)),
+            self._shard_stream_batch(refer_b), k2,
             opts["diffusion_iterations"], int(bucket * 4),
             self.cfg.diffusion.cond_free_k,
         )
