@@ -63,3 +63,41 @@ def test_full_pipeline_smoke():
     wav2 = tts.tts("ni3 hao3", voice, 32000, preset="ultra_fast",
                    max_generate_length=32, voice_cache_key="v0")
     assert np.isfinite(wav2).all()
+
+
+@pytest.mark.slow
+def test_fused_conditioning_matches_composed_stages():
+    """get_conditioning is one fused jit program (api.py _conditioning_fn);
+    it must equal the op-by-op composition of resample → extract_code →
+    resample → acoustic mel it replaced."""
+    import jax.numpy as jnp
+
+    from ttts_tpu.ops.mel import acoustic_mel_spectrogram, vits_spectrogram
+    from ttts_tpu.ops.resample import resample
+
+    tts = TextToSpeech(TINY, seed=0, init_stages=("codec",))
+    rng = np.random.default_rng(3)
+    voice = (rng.standard_normal(44100) * 0.1).astype(np.float32)  # 1 s @ 44.1k
+
+    codes, refer = tts.get_conditioning(voice, 44100)
+
+    c = tts.cfg
+    wav = jnp.asarray(voice, jnp.float32).reshape(1, -1)
+    wav32 = resample(wav, 44100, c.audio.sampling_rate)
+    hop = c.audio.hop_length
+    wav32 = wav32[:, : (wav32.shape[1] // hop) * hop]
+    spec = vits_spectrogram(wav32, c.audio.filter_length, hop,
+                            c.audio.win_length).swapaxes(1, 2)
+    want_codes = tts.codec.apply(
+        tts.params["codec"], wav32[..., None], spec,
+        jnp.asarray([spec.shape[1]]), method=tts.codec.extract_code,
+    )[:, 0, :]
+    wav24 = resample(wav, 44100, c.acoustic_mel.sample_rate)
+    want_refer = acoustic_mel_spectrogram(
+        wav24, c.acoustic_mel.sample_rate, c.acoustic_mel.n_fft,
+        c.acoustic_mel.hop_length, c.acoustic_mel.n_mels,
+    ).swapaxes(1, 2)
+
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(want_codes))
+    np.testing.assert_allclose(np.asarray(refer), np.asarray(want_refer),
+                               atol=1e-5, rtol=1e-5)

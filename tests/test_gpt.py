@@ -170,3 +170,59 @@ class TestEarlyStopParity:
         b = np.asarray(inference_speech(model, params, text, codes[:, :4], key,
                                         early_stop=True, **kwargs))
         np.testing.assert_array_equal(a, b)
+
+
+def test_flash_attention_flag_falls_back_on_cpu():
+    """GPTConfig.flash_attention must keep identical numbers on CPU (the
+    Pallas route only engages on an accelerator backend)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, 100, size=(2, 8))),
+        tl=jnp.asarray([8, 6]),
+        mel=jnp.asarray(rng.integers(0, 32, size=(2, 12))),
+        wl=jnp.asarray([12, 10]) * 1024,
+    )
+    base = UnifiedVoice(TINY)
+    params = base.init(jax.random.key(0), batch["text"], batch["tl"],
+                       batch["mel"], batch["wl"])
+    fl = UnifiedVoice(dataclasses.replace(TINY, flash_attention=True,
+                                          attn_dropout=0.0))
+    a = base.apply(params, batch["text"], batch["tl"], batch["mel"],
+                   batch["wl"], return_latent=True)
+    b = fl.apply(params, batch["text"], batch["tl"], batch["mel"],
+                 batch["wl"], return_latent=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attn_dropout_split_from_resid_dropout():
+    """attn_dropout=0 with dropout>0 keeps residual dropout active but makes
+    the attention probabilities deterministic (HF attn_pdrop/resid_pdrop
+    split)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, 100, size=(2, 8))),
+        tl=jnp.asarray([8, 6]),
+        mel=jnp.asarray(rng.integers(0, 32, size=(2, 12))),
+        wl=jnp.asarray([12, 10]) * 1024,
+    )
+    m = UnifiedVoice(dataclasses.replace(TINY, dropout=0.5, attn_dropout=0.0))
+    params = m.init(jax.random.key(0), batch["text"], batch["tl"],
+                    batch["mel"], batch["wl"])
+    l1, _, _ = m.apply(params, batch["text"], batch["tl"], batch["mel"],
+                       batch["wl"], deterministic=False,
+                       rngs={"dropout": jax.random.key(1)})
+    l2, _, _ = m.apply(params, batch["text"], batch["tl"], batch["mel"],
+                       batch["wl"], deterministic=False,
+                       rngs={"dropout": jax.random.key(2)})
+    # residual dropout still randomizes the loss across dropout keys
+    assert float(l1) != float(l2)

@@ -134,6 +134,12 @@ class GPTConfig:
     checkpointing: bool = False
     max_conditioning_inputs: int = 1
     dropout: float = 0.1  # GPT-2 resid/attn/embd dropout (HF defaults)
+    # attn_pdrop override; None → same as `dropout` (HF GPT2Config semantics)
+    attn_dropout: Optional[float] = None
+    # route the no-cache causal path through the Pallas TPU flash-attention
+    # kernel (differentiable; engages only when attention dropout is
+    # inactive — set attn_dropout=0.0 to use it in training)
+    flash_attention: bool = False
 
 
 @dataclass(frozen=True)

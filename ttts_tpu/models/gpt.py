@@ -50,12 +50,21 @@ class GPT2Block(nn.Module):
     """Pre-LN GPT-2 block (HF GPT2Block semantics: ln_1→attn→res, ln_2→mlp→res).
 
     `dtype` is the compute/activation dtype (bf16 on TPU for 4× MXU rate);
-    params stay f32 and the attention softmax runs in f32."""
+    params stay f32 and the attention softmax runs in f32.
+
+    `attn_dropout` is HF's attn_pdrop (dropout on the softmax probabilities),
+    distinct from `dropout` (resid_pdrop). `flash_causal` routes the no-cache
+    causal path through the Pallas TPU flash-attention kernel (differentiable
+    — used in TRAINING too); it engages only when attention dropout is
+    inactive (deterministic, or attn_dropout == 0), so the default reference
+    semantics (attn_pdrop 0.1) are never silently changed."""
 
     dim: int
     heads: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    attn_dropout: Optional[float] = None  # None → same as dropout (HF default)
+    flash_causal: bool = False
 
     @nn.compact
     def __call__(
@@ -90,13 +99,20 @@ class GPT2Block(nn.Module):
         else:
             new_cache = None
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(dk)
-        if attn_mask is not None:
-            scores = jnp.where(attn_mask, scores, jnp.finfo(jnp.float32).min)
-        p = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        if self.dropout > 0:
-            p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
+        p_attn = self.dropout if self.attn_dropout is None else self.attn_dropout
+        if (self.flash_causal and cache is None
+                and (deterministic or p_attn == 0.0)
+                and jax.default_backend() not in ("cpu",)):
+            attn = _flash_causal_attention(q, k, v, 1.0 / math.sqrt(dk))
+            attn = attn.astype(x.dtype).reshape(b, t, d)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(dk)
+            if attn_mask is not None:
+                scores = jnp.where(attn_mask, scores, jnp.finfo(jnp.float32).min)
+            p = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            if p_attn > 0:
+                p = nn.Dropout(p_attn)(p, deterministic=deterministic)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
         attn = nn.Dense(d, kernel_init=proj_init, dtype=self.dtype)(attn)
         if self.dropout > 0:
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
@@ -123,6 +139,8 @@ class GPT2Stack(nn.Module):
     dtype: Any = jnp.float32
     use_ln_f: bool = True
     remat: bool = False
+    attn_dropout: Optional[float] = None
+    flash_causal: bool = False
 
     @nn.compact
     def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
@@ -138,7 +156,8 @@ class GPT2Stack(nn.Module):
         new_k, new_v = [], []
         for i in range(self.layers):
             layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
-            x, nc = block_cls(self.dim, self.heads, self.dropout, self.dtype)(
+            x, nc = block_cls(self.dim, self.heads, self.dropout, self.dtype,
+                              self.attn_dropout, self.flash_causal)(
                 x, attn_mask, layer_cache, cache_index, deterministic
             )
             if nc is not None:
@@ -152,6 +171,34 @@ class GPT2Stack(nn.Module):
 
 def _causal_mask(t: int) -> jax.Array:
     return jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+
+def _flash_causal_attention(q, k, v, sm_scale: float) -> jax.Array:
+    """Causal attention through the Pallas TPU flash kernel (differentiable —
+    backed by a custom VJP, so it serves the TRAINING path too; scores never
+    materialize in HBM, unlike the einsum path's (B,H,T,T) f32 tensor that
+    XLA must also save for backward).
+
+    q, k, v: (B, T, H, D) → (B, T, H, D). T is padded up to a multiple of 512
+    (the kernel's grid constraint): under a causal mask, padded KEYS sit
+    beyond every valid query's horizon and padded QUERY rows are sliced off,
+    so padding is exact, not approximate."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention as tpu_flash_attention,
+    )
+
+    b, t, h, d = q.shape
+    blk = 512 if t >= 512 else 128
+    t_pad = ((t + blk - 1) // blk) * blk
+    pad = ((0, 0), (0, t_pad - t), (0, 0), (0, 0))
+    qt = jnp.transpose(jnp.pad(q, pad), (0, 2, 1, 3))
+    kt = jnp.transpose(jnp.pad(k, pad), (0, 2, 1, 3))
+    vt = jnp.transpose(jnp.pad(v, pad), (0, 2, 1, 3))
+    sizes = BlockSizes.get_default(b, h, t_pad, t_pad, d)
+    out = tpu_flash_attention(qt, kt, vt, causal=True, sm_scale=sm_scale,
+                              block_sizes=sizes)
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :t]
 
 
 class UnifiedVoice(nn.Module):
@@ -178,7 +225,9 @@ class UnifiedVoice(nn.Module):
             (c.max_mel_tokens + 2, c.model_dim),
         )
         self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dropout=c.dropout,
-                             dtype=self.dtype, remat=c.checkpointing)
+                             dtype=self.dtype, remat=c.checkpointing,
+                             attn_dropout=c.attn_dropout,
+                             flash_causal=c.flash_attention)
         self.final_norm = nn.LayerNorm(epsilon=1e-5)
         self.text_head = nn.Dense(c.number_text_tokens + 1)
         self.mel_head = nn.Dense(c.number_mel_codes)
