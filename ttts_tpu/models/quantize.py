@@ -148,6 +148,10 @@ def _nearest(x: jax.Array, embed: jax.Array) -> jax.Array:
     if _on_tpu() and n * bins >= (1 << 16):
         from ttts_tpu.ops.pallas.vq import vq_nearest_pallas
 
+        # indices are integral (zero tangent), but pallas_call has no JVP
+        # rule — without the stop_gradient this crashes when the k-means
+        # init runs inside a value_and_grad trace (the GAN train step)
+        x, embed = jax.lax.stop_gradient((x, embed))
         return vq_nearest_pallas(x, embed).astype(jnp.int32)
     dist = (
         jnp.sum(x**2, axis=1, keepdims=True)
