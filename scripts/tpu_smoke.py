@@ -1,0 +1,219 @@
+"""TPU smoke: run every train step + the serving pipeline ON THE DEFAULT
+BACKEND (the real chip under axon) at small-but-real sizes.
+
+The CPU test suite (tests/conftest.py forces jax_platforms=cpu) cannot reach
+TPU-gated code: the Pallas VQ nearest-neighbour route (quantize.py _on_tpu,
+engaged when N·bins ≥ 2^16), the Pallas flash-attention routes, and the bf16
+serving-weight cast. This script trips all of them inside real grad traces —
+it is how the pallas_call-has-no-JVP crash (quantize.py:146) was found.
+
+usage:  timeout 1500 python scripts/tpu_smoke.py      # ~8-10 min of compiles
+Prints one PASS/FAIL line per surface; exits nonzero on any failure.
+"""
+
+import pathlib
+import sys
+import traceback
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ttts_tpu.config import (
+        AudioConfig,
+        CLVPConfig,
+        DiffusionNetConfig,
+        GPTConfig,
+        VQVAEConfig,
+    )
+    from ttts_tpu.train.state import TrainState, make_adamw, make_gan_adam
+
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def check(name, fn):
+        try:
+            fn()
+            print(f"PASS {name}", flush=True)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            traceback.print_exc(limit=3)
+
+    # ---- GPT train step (flash on, attn_dropout 0 → Pallas fwd+bwd) -------
+    def gpt_step():
+        from ttts_tpu.models.gpt import UnifiedVoice
+        from ttts_tpu.train.steps import gpt_train_step
+
+        cfg = GPTConfig(model_dim=256, layers=2, heads=4, max_text_tokens=800,
+                        max_mel_tokens=1200, number_mel_codes=1026,
+                        start_mel_token=1024, stop_mel_token=1025,
+                        attn_dropout=0.0, flash_attention=True)
+        model = UnifiedVoice(cfg, dtype=jnp.bfloat16)
+        batch = {
+            "text": jnp.asarray(rng.integers(1, 255, size=(2, 64))),
+            "text_lengths": jnp.asarray([64, 50]),
+            "mel_codes": jnp.asarray(rng.integers(0, 1024, size=(2, 1024))),
+            "wav_lengths": jnp.asarray([1024, 900]) * 1024,
+        }
+        params = jax.jit(model.init)(jax.random.key(0), batch["text"],
+                                     batch["text_lengths"], batch["mel_codes"],
+                                     batch["wav_lengths"])
+        state = TrainState.create(apply_fn=model.apply, params=params,
+                                  tx=make_adamw(1e-4, warmup_steps=1))
+        step = jax.jit(lambda s, b, k: gpt_train_step(s, b, k, model))
+        _, m = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(m["loss"]))
+
+    check("gpt_train_step(flash)", gpt_step)
+
+    # ---- codec GAN step (Pallas VQ kernel inside value_and_grad) ----------
+    def gan_step():
+        from ttts_tpu.models.discriminator import MultiPeriodDiscriminator
+        from ttts_tpu.models.vqvae import SynthesizerTrn
+        from ttts_tpu.train.steps import vqvae_train_step
+
+        audio = AudioConfig()
+        hop = audio.hop_length
+        # 128 frames × 1024 bins = 2^17 ≥ the Pallas-VQ engage threshold
+        frames, B = 128, 2
+        vq = VQVAEConfig(posterior_wn_layers=2, flow_layers=1, flow_wn_layers=1)
+        gen = SynthesizerTrn(vq, spec_channels=audio.filter_length // 2 + 1,
+                             segment_frames=16)
+        disc = MultiPeriodDiscriminator(periods=(2, 3))
+        wav = jnp.asarray(
+            rng.standard_normal((B, frames * hop, 1)).astype(np.float32) * 0.1)
+        spec = jnp.asarray(rng.standard_normal(
+            (B, frames, audio.filter_length // 2 + 1)).astype(np.float32))
+        batch = {"wav": wav, "spec_lengths": jnp.asarray([frames] * B),
+                 "text": jnp.asarray(rng.integers(0, 255, size=(B, 12))),
+                 "text_lengths": jnp.asarray([12] * B)}
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+                "slice": jax.random.key(2), "vq": jax.random.key(3)}
+        g_vars = jax.jit(lambda: gen.init(
+            rngs, wav[:1], wav[:1], spec[:1], spec[:1], jnp.asarray([frames]),
+            batch["text"][:1], jnp.asarray([12]), train=True))()
+        seg = jnp.zeros((1, 16 * hop, 1))
+        d_params = jax.jit(lambda: disc.init(jax.random.key(4), seg, seg))()["params"]
+        g_state = TrainState.create(apply_fn=gen.apply, params=g_vars["params"],
+                                    tx=make_gan_adam(2e-4),
+                                    extra_vars={"codebook": g_vars["codebook"]})
+        d_state = TrainState.create(apply_fn=disc.apply, params=d_params,
+                                    tx=make_gan_adam(2e-4))
+        step = jax.jit(lambda g, d, b, k: vqvae_train_step(g, d, b, k, gen,
+                                                           disc, audio))
+        g2, d2, m = step(g_state, d_state, batch, jax.random.key(7))
+        assert np.isfinite(float(m["loss_gen_all"]))
+        assert bool(g2.extra_vars["codebook"]["quantizer"]["state"].inited)
+
+    check("vqvae_gan_step(pallas-vq)", gan_step)
+
+    # ---- diffusion step with frozen GPT -----------------------------------
+    def diff_step():
+        from ttts_tpu.diffusion.gaussian import (
+            GaussianDiffusion,
+            get_named_beta_schedule,
+        )
+        from ttts_tpu.models.diffusion_net import AA_diffusion
+        from ttts_tpu.models.gpt import UnifiedVoice
+        from ttts_tpu.train.steps import diffusion_train_step
+
+        gcfg = GPTConfig(model_dim=256, layers=1, heads=4, max_text_tokens=64,
+                         max_mel_tokens=256, number_mel_codes=1026,
+                         start_mel_token=1024, stop_mel_token=1025)
+        gpt = UnifiedVoice(gcfg, dtype=jnp.bfloat16)
+        dcfg = DiffusionNetConfig(model_channels=128, num_layers=2,
+                                  in_latent_channels=256)
+        net = AA_diffusion(dcfg)
+        diffuser = GaussianDiffusion(get_named_beta_schedule("linear", 1000))
+        B, T = 2, 128
+        batch = {
+            "text": jnp.asarray(rng.integers(1, 255, size=(B, 16))),
+            "text_lengths": jnp.asarray([16] * B),
+            "mel_codes": jnp.asarray(rng.integers(0, 1024, size=(B, T // 4))),
+            "wav_lengths": jnp.asarray([T // 4] * B) * 1024,
+            "mel": jnp.asarray(rng.standard_normal((B, T, 100)).astype(np.float32)),
+            "mel_refer": jnp.asarray(rng.standard_normal((B, 47, 100)).astype(np.float32)),
+        }
+        gparams = jax.jit(gpt.init)(jax.random.key(0), batch["text"],
+                                    batch["text_lengths"], batch["mel_codes"],
+                                    batch["wav_lengths"])
+        mel0 = jnp.zeros((1, 32, 100))
+        lat0 = jnp.zeros((1, 16, dcfg.in_latent_channels))
+        dparams = jax.jit(net.init)(jax.random.key(1), mel0, jnp.asarray([1.0]),
+                                    lat0, mel0)
+        state = TrainState.create(apply_fn=net.apply, params=dparams,
+                                  tx=make_adamw(1e-4, warmup_steps=1))
+        step = jax.jit(lambda s, b, k: diffusion_train_step(
+            s, b, k, net, diffuser, gpt, gparams))
+        _, m = step(state, batch, jax.random.key(2))
+        assert np.isfinite(float(m["loss"]))
+
+    check("diffusion_train_step(frozen-gpt)", diff_step)
+
+    # ---- CLVP + classifier steps ------------------------------------------
+    def clvp_step():
+        from ttts_tpu.models.clvp import CLVP
+        from ttts_tpu.train.steps import clvp_train_step
+
+        cfg = CLVPConfig(dim_text=64, dim_speech=64, dim_latent=32,
+                         num_text_tokens=256, num_speech_tokens=1026,
+                         text_enc_depth=1, speech_enc_depth=1, text_heads=2,
+                         speech_heads=2)
+        m = CLVP(cfg)
+        b = {"text": jnp.asarray(rng.integers(0, 255, size=(4, 24))),
+             "speech_tokens": jnp.asarray(rng.integers(0, 1024, size=(4, 50)))}
+        p = jax.jit(m.init)(jax.random.key(0), b["text"], b["speech_tokens"])
+        st = TrainState.create(apply_fn=m.apply, params=p,
+                               tx=make_adamw(1e-4, warmup_steps=1))
+        step = jax.jit(lambda s, bb, k: clvp_train_step(s, bb, k, m))
+        _, mm = step(st, b, jax.random.key(1))
+        assert np.isfinite(float(mm["loss"]))
+
+    check("clvp_train_step", clvp_step)
+
+    def classifier_step():
+        from ttts_tpu.config import ClassifierConfig
+        from ttts_tpu.models.classifier import AudioMiniEncoderWithClassifierHead
+        from ttts_tpu.train.steps import classifier_train_step
+
+        m = AudioMiniEncoderWithClassifierHead(ClassifierConfig(
+            spec_dim=16, embedding_dim=64, depth=2, resnet_blocks=1,
+            attn_blocks=2, base_channels=8))
+        b = {"mel": jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32)),
+             "labels": jnp.asarray([0, 1])}
+        p = jax.jit(m.init)(jax.random.key(0), b["mel"])
+        st = TrainState.create(apply_fn=m.apply, params=p,
+                               tx=make_adamw(1e-4, warmup_steps=1))
+        step = jax.jit(lambda s, bb, k: classifier_train_step(s, bb, k, m))
+        _, mm = step(st, b, jax.random.key(1))
+        assert np.isfinite(float(mm["loss"]))
+
+    check("classifier_train_step", classifier_step)
+
+    # ---- serving (bf16 weight cast + fused conditioning + flash routing) --
+    def serving():
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+        from test_api import TINY
+
+        from ttts_tpu.api import TextToSpeech
+
+        tts = TextToSpeech(TINY, seed=0)
+        voice = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+        wav = tts.tts("ni3 hao3 shi4 jie4", voice, 32000, preset="ultra_fast",
+                      max_generate_length=32)
+        assert wav.shape[0] > 500 and np.isfinite(wav).all()
+
+    check("serving_tts(bf16+fused-cond)", serving)
+
+    print(("ALL PASS" if not failures else f"FAILURES: {failures}"), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
