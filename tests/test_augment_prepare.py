@@ -194,3 +194,75 @@ class TestSpectralGenderWarp:
         assert out.shape == wavs.shape
         assert np.isfinite(out).all()
         assert not np.allclose(out, wavs)  # something actually happened
+
+
+class TestSpeakerHygiene:
+    """unique-spk / prune-single-wav (prepare/misc.py vs reference
+    prepare/unique_spk_process.py + delete_one_file_dir.py) with a stub
+    speaker verifier — no ModelScope."""
+
+    @staticmethod
+    def _mk_wav(p):
+        import struct
+        import wave
+
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(struct.pack("<h", 0) * 160)
+
+    def test_unique_spk_scan_flags_mismatches(self, tmp_path):
+        from ttts_tpu.data.prepare.misc import unique_spk_scan
+
+        spk = tmp_path / "spk0"
+        spk.mkdir()
+        for n in ("a.wav", "b.wav", "intruder.wav"):
+            self._mk_wav(spk / n)
+        lone = tmp_path / "spk1"
+        lone.mkdir()
+        self._mk_wav(lone / "only.wav")
+
+        def same_speaker(ref, path):
+            return "intruder" not in path
+
+        flagged = unique_spk_scan(str(tmp_path), same_speaker)
+        reasons = {f["path"].rsplit("/", 1)[-1]: f["reason"] for f in flagged}
+        assert reasons == {"intruder.wav": "speaker-mismatch",
+                           "only.wav": "single-clip-folder"}
+
+    def test_prune_single_wav_dry_run(self, tmp_path):
+        from ttts_tpu.data.prepare.misc import single_wav_folders
+
+        one = tmp_path / "one"
+        one.mkdir()
+        self._mk_wav(one / "x.wav")
+        two = tmp_path / "two"
+        two.mkdir()
+        self._mk_wav(two / "x.wav")
+        self._mk_wav(two / "y.wav")
+        got = single_wav_folders(str(tmp_path))
+        assert got == [str(one)]
+        assert one.exists()  # scan never deletes
+
+    def test_unique_spk_cli_with_hook(self, tmp_path, monkeypatch):
+        import json
+        import sys
+        import types
+
+        from ttts_tpu.data.prepare import misc
+
+        spk = tmp_path / "s"
+        spk.mkdir()
+        for n in ("a.wav", "b.wav"):
+            self._mk_wav(spk / n)
+        hook = types.ModuleType("fake_sv")
+        # ref is drawn from wavs[1:] == [b.wav]; this verifier rejects a.wav
+        hook.same_speaker = lambda ref, path: not path.endswith("a.wav")
+        monkeypatch.setitem(sys.modules, "fake_sv", hook)
+        out = tmp_path / "del.jsonl"
+        misc.main(["unique-spk", "--root", str(tmp_path), "--out", str(out),
+                   "--sv-hook", "fake_sv"])
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        assert [r["path"].rsplit("/", 1)[-1] for r in rows] == ["a.wav"]
+        assert rows[0]["reason"] == "speaker-mismatch"

@@ -3,9 +3,12 @@
   classify     — run the audio-quality classifier over a manifest and emit
                  noise_files.txt (ttts/classifier/infer.py classify_audio_clip
                  + the filter pipeline input)
-  unique-spk   — deduplicate speakers by a per-file embedding hash
-                 (prepare/unique_spk.py approximation: the reference clustered
-                 speaker embeddings; we bucket by classifier embedding)
+  unique-spk   — per speaker folder, flag clips a speaker-verification hook
+                 says mismatch a random reference clip
+                 (prepare/unique_spk.py + unique_spk_process.py; the SV
+                 model — reference: ModelScope CAM++ — is injected)
+  prune-single-wav — list/delete folders holding exactly one wav
+                 (prepare/delete_one_file_dir.py)
   remove-empty — drop manifest rows whose audio path is missing/empty
                  (prepare/remove_empty_paths.py)
   do-to-files  — apply `module:function` to every file in a list in a process
@@ -65,6 +68,72 @@ def cmd_remove_empty(args):
     log.info("remove-empty: kept %d rows", len(rows))
 
 
+def unique_spk_scan(root: str, same_speaker, rng=None) -> list:
+    """Per speaker folder: pick a random reference clip and flag every clip
+    the verifier says is a DIFFERENT speaker (prepare/unique_spk_process.py:
+    14-41 — reference clip drawn from audio_files[1:], mismatches recorded
+    to a deletion jsonl; the ModelScope CAM++ pipeline is the injected
+    `same_speaker(ref_path, path) -> bool`, same process boundary as ASR).
+    Single-clip folders are flagged whole (the reference deletes them —
+    prepare/delete_one_file_dir.py does the same sweep)."""
+    import random
+
+    rng = rng or random.Random(0)
+    flagged = []
+    for folder in sorted(p for p in pathlib.Path(root).iterdir() if p.is_dir()):
+        wavs = sorted(str(x) for x in folder.glob("*.wav"))
+        if not wavs:
+            continue
+        if len(wavs) == 1:
+            flagged.append({"path": wavs[0], "reason": "single-clip-folder"})
+            continue
+        ref = rng.choice(wavs[1:])
+        for w in wavs:
+            if not same_speaker(ref, w):
+                flagged.append({"path": w, "reason": "speaker-mismatch"})
+    return flagged
+
+
+def cmd_unique_spk(args):
+    import importlib
+    import json
+
+    if not args.sv_hook:
+        raise SystemExit(
+            "no speaker-verification backend in this environment; pass "
+            "--sv-hook my_module exposing same_speaker(ref_path, path)->bool "
+            "(reference used ModelScope CAM++, unique_spk_process.py:8-12)"
+        )
+    same = importlib.import_module(args.sv_hook).same_speaker
+    flagged = unique_spk_scan(args.root, same)
+    with open(args.out, "w", encoding="utf-8") as f:
+        for row in flagged:
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+    log.info("unique-spk: flagged %d clips → %s", len(flagged), args.out)
+
+
+def single_wav_folders(root: str) -> list:
+    """Folders (recursively) containing exactly one .wav
+    (prepare/delete_one_file_dir.py:6-19)."""
+    out = []
+    for folder in sorted(p for p in pathlib.Path(root).rglob("*") if p.is_dir()):
+        if len(list(folder.glob("*.wav"))) == 1:
+            out.append(str(folder))
+    return out
+
+
+def cmd_prune_single_wav(args):
+    import shutil
+
+    folders = single_wav_folders(args.root)
+    pathlib.Path(args.out).write_text("\n".join(folders) + ("\n" if folders else ""))
+    if args.delete:
+        for f in folders:
+            shutil.rmtree(f)
+    log.info("prune-single-wav: %d folders %s → %s", len(folders),
+             "deleted" if args.delete else "listed (dry-run)", args.out)
+
+
 def cmd_do_to_files(args):
     import importlib
 
@@ -91,6 +160,20 @@ def main(argv=None):
     s.add_argument("--manifest", required=True)
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_remove_empty)
+
+    s = sub.add_parser("unique-spk")
+    s.add_argument("--root", required=True, help="speaker-folder root")
+    s.add_argument("--out", required=True, help="deletion jsonl")
+    s.add_argument("--sv-hook", default=None,
+                   help="module exposing same_speaker(ref, path)->bool")
+    s.set_defaults(fn=cmd_unique_spk)
+
+    s = sub.add_parser("prune-single-wav")
+    s.add_argument("--root", required=True)
+    s.add_argument("--out", required=True, help="list of flagged folders")
+    s.add_argument("--delete", action="store_true",
+                   help="actually delete (default: dry-run list)")
+    s.set_defaults(fn=cmd_prune_single_wav)
 
     s = sub.add_parser("do-to-files")
     s.add_argument("--file-list", required=True)
