@@ -75,3 +75,45 @@ class TestRelease:
         # fp16 round trip within half precision
         np.testing.assert_allclose(tree["params"]["dec"]["kernel"],
                                    params["params"]["dec"]["kernel"], atol=2e-3)
+
+
+class TestDivergenceAbort:
+    def test_consecutive_nonfinite_aborts_with_checkpoint(self, tmp_path):
+        """SURVEY §5.3: an unbroken run of skipped (non-finite) steps aborts
+        loudly with the state checkpointed, instead of silently no-op'ing
+        through the remaining budget."""
+        import jax.numpy as jnp
+        import pytest
+
+        class S:  # minimal checkpointable state
+            pass
+
+        state = {"w": jnp.zeros((2,))}
+
+        def bad_step(state, batch, key):
+            return state, {"loss": jnp.nan, "nonfinite_skipped": jnp.asarray(1.0)}
+
+        trainer = Trainer(bad_step, state, [{"x": np.zeros((1,))}] * 100,
+                          tmp_path / "logs", train_steps=100, save_freq=1000,
+                          log_every=1000, max_consecutive_nonfinite=5)
+        with pytest.raises(RuntimeError, match="consecutive"):
+            trainer.train()
+        assert trainer.step == 5
+        assert trainer.ckpt.latest_step() == 5  # last state was saved
+
+    def test_recovered_steps_reset_the_counter(self, tmp_path):
+        import jax.numpy as jnp
+
+        calls = {"n": 0}
+
+        def flaky_step(state, batch, key):
+            calls["n"] += 1
+            bad = calls["n"] % 3 == 0  # never 5 consecutive
+            return state, {"nonfinite_skipped": jnp.asarray(1.0 if bad else 0.0)}
+
+        trainer = Trainer(flaky_step, {"w": jnp.zeros((2,))},
+                          [{"x": np.zeros((1,))}] * 30, tmp_path / "logs",
+                          train_steps=30, save_freq=1000, log_every=1000,
+                          max_consecutive_nonfinite=5)
+        trainer.train()  # completes without raising
+        assert trainer.step == 30

@@ -44,6 +44,7 @@ class Trainer:
         mesh=None,
         eval_fn: Optional[Callable] = None,
         eval_freq: Optional[int] = None,
+        max_consecutive_nonfinite: int = 25,
     ):
         self.step_fn = step_fn
         self.state = state
@@ -60,6 +61,12 @@ class Trainer:
         self.logger = get_logger("trainer", str(self.logs_folder / "train.log"))
         self.key = jax.random.key(seed)
         self.step = 0
+        # failure detection (SURVEY §5.3): apply_gradients_safe skips
+        # non-finite steps in-jit; a long unbroken run of skips means the
+        # model has diverged and "training" is a no-op — abort loudly
+        # instead of burning the remaining step budget.
+        self.max_consecutive_nonfinite = max_consecutive_nonfinite
+        self._nonfinite_run = 0
 
     def maybe_resume(self):
         """Auto-resume from the latest checkpoint (replaces the reference's
@@ -95,6 +102,19 @@ class Trainer:
             self.key, sk = jax.random.split(self.key)
             self.state, metrics = self.step_fn(self.state, self._put(batch), sk)
             self.step += 1
+
+            skipped = metrics.get("nonfinite_skipped")
+            if skipped is not None:
+                self._nonfinite_run = (
+                    self._nonfinite_run + 1 if float(skipped) > 0 else 0
+                )
+                if self._nonfinite_run >= self.max_consecutive_nonfinite:
+                    self.ckpt.save(self.step, self.state, wait=True)
+                    raise RuntimeError(
+                        f"aborting: {self._nonfinite_run} consecutive "
+                        "non-finite-gradient steps (model diverged); last "
+                        f"good state checkpointed at step {self.step}"
+                    )
 
             if self.step % self.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
