@@ -39,11 +39,16 @@ def _param_count(tree):
 
 
 def _timeit(fn, iters=5):
+    """Median of per-iteration wall times. The axon tunnel adds occasional
+    multi-hundred-ms stalls to individual dispatches; a mean lets one stall
+    move the headline RTF by 10-20% run-to-run, the median does not."""
     fn()  # compile / warmup
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         fn()
-    return (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
 
 def bench_all():
@@ -150,7 +155,7 @@ def bench_all():
     w0 = full(0)
     # fixed seed → stable code bucket; audio seconds from the actual output
     audio5 = len(w0) / 24000.0
-    dt5 = _timeit(lambda: full(0), iters=3)
+    dt5 = _timeit(lambda: full(0), iters=5)
     rtf5 = dt5 / audio5
     rows.append({"config": "5_full_pipeline_reference_defaults",
                  "rtf": round(rtf5, 5), "wall_s": round(dt5, 4),
