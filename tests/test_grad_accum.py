@@ -61,3 +61,43 @@ def test_two_microsteps_equal_one_big_step():
     for a, b in zip(flat_acc, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=5e-4)
+
+
+def test_ema_advances_once_per_optimizer_update():
+    """Under MultiSteps, EMA shadow weights must decay once per REAL update,
+    not once per micro-step (beta^N compounding would shorten the EMA time
+    constant N×)."""
+    cfg = GPTConfig(model_dim=64, layers=1, heads=4, max_text_tokens=16,
+                    max_mel_tokens=32, dropout=0.0)
+    model = UnifiedVoice(cfg)
+    rng = np.random.default_rng(1)
+    big = _batch(rng, 4, 10, 12)
+    micro = [{k: v[:2] for k, v in big.items()},
+             {k: v[2:] for k, v in big.items()}]
+    params = model.init(jax.random.key(0), big["text"], big["text_lengths"],
+                        big["mel_codes"], big["wav_lengths"])
+    key = jax.random.key(7)
+    step = jax.jit(lambda s, b, k: gpt_train_step(s, b, k, model))
+
+    ref = TrainState.create(apply_fn=model.apply, params=params,
+                            tx=make_adamw(1e-3, warmup_steps=1),
+                            ema_params=params)
+    ref, _ = step(ref, big, key)
+
+    acc = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=with_accumulation(make_adamw(1e-3, warmup_steps=1), 2),
+        ema_params=params,
+    )
+    acc, _ = step(acc, micro[0], key)
+    # no optimizer update yet → EMA untouched
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        acc.ema_params, params)
+    assert all(jax.tree_util.tree_leaves(same))
+    acc, _ = step(acc, micro[1], key)
+
+    for a, b in zip(jax.tree_util.tree_leaves(acc.ema_params),
+                    jax.tree_util.tree_leaves(ref.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

@@ -98,8 +98,10 @@ class TestDivergenceAbort:
                           log_every=1000, max_consecutive_nonfinite=5)
         with pytest.raises(RuntimeError, match="consecutive"):
             trainer.train()
-        assert trainer.step == 5
-        assert trainer.ckpt.latest_step() == 5  # last state was saved
+        # flags are evaluated one step late (dispatch/run-ahead overlap), so
+        # the 5th consecutive skip aborts after step 6 was dispatched
+        assert trainer.step == 6
+        assert trainer.ckpt.latest_step() == 6  # last state was saved
 
     def test_recovered_steps_reset_the_counter(self, tmp_path):
         import jax.numpy as jnp

@@ -270,17 +270,29 @@ def praat_augment(wav: np.ndarray, sr: int, formant_shift: float,
 
 
 def warp_batch_np(rng: "np.random.Generator", wavs: np.ndarray,
-                  cfg: AugmentConfig, max_retries: int = 4) -> np.ndarray:
+                  cfg: AugmentConfig, max_retries: int = 4,
+                  workers: int = 8) -> np.ndarray:
     """Host-side formant/pitch warp for a (B, T) batch with the reference's
     parameter sampling + NaN-retry (vqvae/train.py:62-116). Runs in loader
-    threads, off the jit path — the reference's praat call is CPU-side too."""
-    def shift(mx: float) -> float:
-        v = rng.uniform(1.0, mx)
-        return 1.0 / v if rng.random() < 0.5 else v
+    threads, off the jit path — the reference's praat call is CPU-side too.
 
-    out = np.empty_like(wavs)
+    Clips are warped CONCURRENTLY (per-clip child RNGs keep determinism):
+    the warp runs in the single collate/producer thread, and serializing
+    B× (STFT + phase-vocoder + overlap-add) there starves the accelerator.
+    numpy's pocketfft releases the GIL, so threads give real speedup."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    child = rng.spawn(wavs.shape[0])
     t = wavs.shape[1]
-    for i in range(wavs.shape[0]):
+    out = np.empty_like(wavs)
+
+    def one(i: int):
+        r = child[i]
+
+        def shift(mx: float) -> float:
+            v = r.uniform(1.0, mx)
+            return 1.0 / v if r.random() < 0.5 else v
+
         y = wavs[i]
         for _ in range(max_retries):
             cand = praat_augment(
@@ -293,6 +305,9 @@ def warp_batch_np(rng: "np.random.Generator", wavs: np.ndarray,
         y = y[:t]
         out[i, : len(y)] = y
         out[i, len(y):] = 0.0
+
+    with ThreadPoolExecutor(max_workers=min(workers, wavs.shape[0])) as pool:
+        list(pool.map(one, range(wavs.shape[0])))
     return out
 
 

@@ -113,12 +113,24 @@ def cmd_unique_spk(args):
 
 
 def single_wav_folders(root: str) -> list:
-    """Folders (recursively) containing exactly one .wav
-    (prepare/delete_one_file_dir.py:6-19)."""
+    """Top-down walk flagging folders whose IMMEDIATE contents hold exactly
+    one .wav (prepare/delete_one_file_dir.py:6-19). A flagged folder is NOT
+    descended into — the reference rmtree's it whole and moves on — so the
+    returned list never contains a folder nested inside another flagged one
+    (deleting in order is safe)."""
     out = []
-    for folder in sorted(p for p in pathlib.Path(root).rglob("*") if p.is_dir()):
-        if len(list(folder.glob("*.wav"))) == 1:
+
+    def walk(folder: pathlib.Path):
+        wavs = [p for p in folder.iterdir()
+                if p.is_file() and p.suffix == ".wav"]
+        if len(wavs) == 1:
             out.append(str(folder))
+            return  # do not descend into a folder slated for deletion
+        for sub in sorted(p for p in folder.iterdir() if p.is_dir()):
+            walk(sub)
+
+    for top in sorted(p for p in pathlib.Path(root).iterdir() if p.is_dir()):
+        walk(top)
     return out
 
 

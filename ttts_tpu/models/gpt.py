@@ -74,6 +74,7 @@ class GPT2Block(nn.Module):
         cache: Optional[Tuple[jax.Array, jax.Array]] = None,
         cache_index=None,
         deterministic: bool = True,
+        causal: bool = False,
     ):
         d, h = self.dim, self.heads
         dk = d // h
@@ -100,7 +101,10 @@ class GPT2Block(nn.Module):
             new_cache = None
 
         p_attn = self.dropout if self.attn_dropout is None else self.attn_dropout
-        if (self.flash_causal and cache is None
+        # the flash route drops attn_mask entirely, so it requires the CALLER
+        # to declare the mask causal (causal=True) — a padding-augmented or
+        # bidirectional mask must never silently become pure-causal
+        if (self.flash_causal and causal and cache is None
                 and (deterministic or p_attn == 0.0)
                 and jax.default_backend() not in ("cpu",)):
             attn = _flash_causal_attention(q, k, v, 1.0 / math.sqrt(dk))
@@ -144,7 +148,8 @@ class GPT2Stack(nn.Module):
 
     @nn.compact
     def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
-                 cache_index=None, deterministic: bool = True):
+                 cache_index=None, deterministic: bool = True,
+                 causal: bool = False):
         x = emb.astype(self.dtype)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -152,13 +157,13 @@ class GPT2Stack(nn.Module):
         if self.remat and cache is None:
             # rematerialize block activations in the backward pass
             # (the reference's gradient_checkpointing flag, model.py:252)
-            block_cls = nn.remat(GPT2Block, static_argnums=(5,))
+            block_cls = nn.remat(GPT2Block, static_argnums=(5, 6))
         new_k, new_v = [], []
         for i in range(self.layers):
             layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
             x, nc = block_cls(self.dim, self.heads, self.dropout, self.dtype,
                               self.attn_dropout, self.flash_causal)(
-                x, attn_mask, layer_cache, cache_index, deterministic
+                x, attn_mask, layer_cache, cache_index, deterministic, causal
             )
             if nc is not None:
                 new_k.append(nc[0])
@@ -286,7 +291,8 @@ class UnifiedVoice(nn.Module):
         mel_emb = self._embed_mel(mel_codes_in)
 
         emb = jnp.concatenate([text_emb, mel_emb], axis=1)
-        h, _ = self.gpt(emb, _causal_mask(emb.shape[1]), deterministic=deterministic)
+        h, _ = self.gpt(emb, _causal_mask(emb.shape[1]),
+                        deterministic=deterministic, causal=True)
         h = self.final_norm(h)
         t_text = text_emb.shape[1]
         h_text, h_mel = h[:, :t_text], h[:, t_text:]
@@ -359,7 +365,10 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
     out = {}
     for k, v in flat.items():
         path = "/".join(k)
-        keep = ("LayerNorm" in path) or ("final_norm" in path) or ("head" in path)
+        # every normalization flavour across the model zoo: GPT LayerNorm /
+        # final_norm, diffusion GroupNorm(32), plus output heads
+        keep = ("LayerNorm" in path or "GroupNorm" in path
+                or "norm" in path.lower() or "head" in path)
         out[k] = v if keep else v.astype(dtype)
     new = dict(params)
     new["params"] = flax.traverse_util.unflatten_dict(out)

@@ -263,9 +263,12 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
 
     trainer = Trainer(paired_step, {"g": g_state, "d": d_state}, data,
                       logs_folder or cfg.train.logs_folder,
-        # train_steps counts OPTIMIZER updates (reference semantics:
-        # the accumulation loop is inside one step, gpt/train.py:99-112)
-        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
+                      # NO accumulate_num multiplier here: the GAN optimizers
+                      # are not MultiSteps-wrapped (alternating D/G
+                      # accumulation is ill-defined, and the reference's
+                      # codec trainer has no accumulation either —
+                      # vqvae/train.py steps once per batch)
+                      cfg.train.train_steps,
                       cfg.train.save_freq, cfg.train.keep_ckpts,
                       mesh=make_mesh(cfg.mesh))
     trainer.maybe_resume()

@@ -55,15 +55,30 @@ def gpt_train_step(state: TrainState, batch: Dict[str, jax.Array], key,
     (loss, (lt, lm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     new_state, grad_norm, finite = apply_gradients_safe(state, grads)
     if state.ema_params is not None:
+        # advance the EMA only when the optimizer actually applied — under
+        # optax.MultiSteps only every accumulate_num-th micro-step updates
+        # params; decaying the EMA on every micro-step would compound the
+        # decay N× per real update (effective beta^N)
+        advance = jnp.logical_and(finite, _optimizer_update_fired(new_state.opt_state))
         ema = ema_update(state.ema_params, new_state.params)
         ema = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(finite, a, b), ema, state.ema_params)
+            lambda a, b: jnp.where(advance, a, b), ema, state.ema_params)
         new_state = new_state.replace(ema_params=ema)
     metrics = {
         "loss": loss, "loss_text": lt, "loss_mel": lm,
         "grad_norm": grad_norm, "nonfinite_skipped": 1.0 - finite,
     }
     return new_state, metrics
+
+
+def _optimizer_update_fired(opt_state) -> jax.Array:
+    """True when the step that produced `opt_state` applied the inner
+    optimizer. Plain chains always apply; optax.MultiSteps applies only when
+    its mini_step wrapped back to 0."""
+    mini_step = getattr(opt_state, "mini_step", None)
+    if mini_step is None:
+        return jnp.asarray(True)
+    return mini_step == 0
 
 
 def optax_global_norm(tree):

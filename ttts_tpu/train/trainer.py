@@ -88,9 +88,20 @@ class Trainer:
             for k, v in batch.items()
         }
 
+    def _note_skip(self, skipped: float):
+        self._nonfinite_run = self._nonfinite_run + 1 if skipped > 0 else 0
+        if self._nonfinite_run >= self.max_consecutive_nonfinite:
+            self.ckpt.save(self.step, self.state, wait=True)
+            raise RuntimeError(
+                f"aborting: {self._nonfinite_run} consecutive "
+                "non-finite-gradient steps (model diverged); last "
+                f"good state checkpointed at step {self.step}"
+            )
+
     def train(self):
         it = iter(self.data_iter)
         t0 = time.perf_counter()
+        pending_skip = None  # previous step's device-side flag
         while self.step < self.train_steps:
             try:
                 batch = next(it)
@@ -103,18 +114,13 @@ class Trainer:
             self.state, metrics = self.step_fn(self.state, self._put(batch), sk)
             self.step += 1
 
-            skipped = metrics.get("nonfinite_skipped")
-            if skipped is not None:
-                self._nonfinite_run = (
-                    self._nonfinite_run + 1 if float(skipped) > 0 else 0
-                )
-                if self._nonfinite_run >= self.max_consecutive_nonfinite:
-                    self.ckpt.save(self.step, self.state, wait=True)
-                    raise RuntimeError(
-                        f"aborting: {self._nonfinite_run} consecutive "
-                        "non-finite-gradient steps (model diverged); last "
-                        f"good state checkpointed at step {self.step}"
-                    )
+            # check the PREVIOUS step's non-finite flag now: the current step
+            # is already dispatched, so this host fetch overlaps with its
+            # execution instead of serializing dispatch (one-step run-ahead;
+            # float() per step before dispatch cost a tunnel round trip each)
+            if pending_skip is not None:
+                self._note_skip(float(pending_skip))
+            pending_skip = metrics.get("nonfinite_skipped")
 
             if self.step % self.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -129,5 +135,7 @@ class Trainer:
                 self.ckpt.save(self.step, self.state, wait=False)
             if self.eval_fn is not None and self.step % self.eval_freq == 0:
                 self.eval_fn(self.step, self.state, self.writer)
+        if pending_skip is not None:
+            self._note_skip(float(pending_skip))
         self.ckpt.save(self.step, self.state, wait=True)
         return self.state
