@@ -279,10 +279,22 @@ def warp_batch_np(rng: "np.random.Generator", wavs: np.ndarray,
     Clips are warped CONCURRENTLY (per-clip child RNGs keep determinism):
     the warp runs in the single collate/producer thread, and serializing
     B× (STFT + phase-vocoder + overlap-add) there starves the accelerator.
-    numpy's pocketfft releases the GIL, so threads give real speedup."""
+    numpy's pocketfft releases the GIL, so threads give real speedup — but
+    ONLY on the numpy fallback path: when parselmouth is installed,
+    praat_augment drives the Praat interpreter, whose global state is not
+    thread-safe, so the warp runs serially there."""
     from concurrent.futures import ThreadPoolExecutor
 
-    child = rng.spawn(wavs.shape[0])
+    n = wavs.shape[0]
+    if n == 0:
+        return np.empty_like(wavs)
+    if HAVE_PRAAT:
+        workers = 1
+    try:
+        child = rng.spawn(n)
+    except AttributeError:  # numpy < 1.25
+        child = [np.random.default_rng(int(rng.integers(2**63)))
+                 for _ in range(n)]
     t = wavs.shape[1]
     out = np.empty_like(wavs)
 
@@ -306,8 +318,12 @@ def warp_batch_np(rng: "np.random.Generator", wavs: np.ndarray,
         out[i, : len(y)] = y
         out[i, len(y):] = 0.0
 
-    with ThreadPoolExecutor(max_workers=min(workers, wavs.shape[0])) as pool:
-        list(pool.map(one, range(wavs.shape[0])))
+    if workers <= 1:
+        for i in range(n):
+            one(i)
+        return out
+    with ThreadPoolExecutor(max_workers=min(workers, n)) as pool:
+        list(pool.map(one, range(n)))
     return out
 
 

@@ -365,10 +365,9 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
     out = {}
     for k, v in flat.items():
         path = "/".join(k)
-        # every normalization flavour across the model zoo: GPT LayerNorm /
-        # final_norm, diffusion GroupNorm(32), plus output heads
-        keep = ("LayerNorm" in path or "GroupNorm" in path
-                or "norm" in path.lower() or "head" in path)
+        # every normalization flavour across the model zoo (LayerNorm,
+        # GroupNorm(32), final_norm, ...) plus output heads
+        keep = "norm" in path.lower() or "head" in path
         out[k] = v if keep else v.astype(dtype)
     new = dict(params)
     new["params"] = flax.traverse_util.unflatten_dict(out)

@@ -209,6 +209,8 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
 
     def collate(items):
         b = ds.collate(items)
+        if b is None:  # every clip dropped — trainer skips None batches
+            return None
         if cfg.train.aug_warp:
             # NANSY formant/pitch warp in loader threads (host, like the
             # reference's praat stage); the in-jit PEQ applies on top of it
