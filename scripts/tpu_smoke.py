@@ -196,6 +196,38 @@ def main():
 
     check("classifier_train_step", classifier_step)
 
+    # ---- DVAE grad step (second consumer of the Pallas-VQ route) ----------
+    def dvae_step():
+        import optax
+
+        from ttts_tpu.models.dvae import DiscreteVAE
+
+        # bins 1024 × flat N 128 = 2^17 ≥ the Pallas-VQ engage threshold,
+        # inside value_and_grad (the crash class quantize.py:146 guards)
+        m = DiscreteVAE(num_tokens=1024, codebook_dim=64, channels=16,
+                        out_channels=16, hidden_dim=16, num_layers=2)
+        mel = jnp.asarray(
+            rng.standard_normal((2, 256, 16)).astype(np.float32))
+        variables = m.init({"params": jax.random.key(0),
+                            "vq": jax.random.key(1)}, mel, train=True)
+        params, codebook = variables["params"], variables["codebook"]
+
+        @jax.jit
+        def step(params, codebook):
+            def loss_fn(p):
+                (recon, commit, _), mut = m.apply(
+                    {"params": p, "codebook": codebook}, mel, train=True,
+                    rngs={"vq": jax.random.key(2)}, mutable=["codebook"])
+                return recon + commit, mut
+
+            (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return loss, optax.global_norm(grads), mut["codebook"]
+
+        loss, gn, _ = step(params, codebook)
+        assert np.isfinite(float(loss)) and np.isfinite(float(gn))
+
+    check("dvae_grad_step(pallas-vq)", dvae_step)
+
     # ---- serving (bf16 weight cast + fused conditioning + flash routing) --
     def serving():
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
