@@ -196,6 +196,30 @@ def main():
 
     check("classifier_train_step", classifier_step)
 
+    # ---- RVQ1 extract + decode (third consumer of the Pallas-VQ route) ----
+    def rvq1_extract():
+        from ttts_tpu.models.rvq1 import RVQ1
+
+        m = RVQ1(spec_channels=65, hubert_channels=64, inter_channels=16,
+                 dim=16, upsample_initial_channel=32, gin_channels=32,
+                 segment_frames=4, codebook_bins=1024)
+        # 2 × 128-frame clips → flat N 128 × 1024 bins ≥ the kernel gate
+        spec = jnp.asarray(
+            rng.standard_normal((2, 128, 65)).astype(np.float32))
+        hubert = jnp.asarray(
+            rng.standard_normal((2, 128, 64)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+                "slice": jax.random.key(2), "vq": jax.random.key(3)}
+        variables = jax.jit(
+            lambda: m.init(rngs, spec, hubert, train=True))()
+        codes = jax.jit(
+            lambda v, s: m.apply(v, s, method=m.extract_code))(variables, spec)
+        wav = m.apply(variables, jnp.transpose(codes, (1, 0, 2)), spec,
+                      method=m.decode, rngs={"noise": jax.random.key(7)})
+        assert np.isfinite(np.asarray(wav)).all()
+
+    check("rvq1_extract_decode(pallas-vq)", rvq1_extract)
+
     # ---- DVAE grad step (second consumer of the Pallas-VQ route) ----------
     def dvae_step():
         import optax
