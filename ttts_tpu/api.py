@@ -132,6 +132,18 @@ class TextToSpeech:
             self._cast_cache[stage] = (src, cast_params_for_inference(src))
         return self._cast_cache[stage][1]
 
+    def set_params(self, stage: str, tree) -> None:
+        """Replace a stage's weights for serving. Subtrees must be replaced
+        WHOLESALE — the bf16 cast cache above is keyed by object identity, so
+        mutating leaves inside ``self.params[stage]`` in place would leave
+        serving on a stale cast copy. This setter installs the new tree and
+        drops the cast cache (plus cached conditioning, which embeds codec
+        outputs, when codec weights change)."""
+        self.params[stage] = tree
+        self._cast_cache.pop(stage, None)
+        if stage == "codec":
+            self._cond_cache.clear()
+
     # ------------------------------------------------------------------ init
 
     def _random_init(self, seed: int, stages=ALL_STAGES) -> Dict:

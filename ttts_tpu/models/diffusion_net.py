@@ -175,7 +175,12 @@ class AttentionBlock(nn.Module):
         # T=768) because the hoisted-bias softmax chain is bandwidth-cheap
         # there; past that the (B,H,T,T) scores blow up (the XLA path OOMs
         # at T=2560) and the kernel is the only viable route.
+        # upper bound: the kernel keeps one batch row's K/V panels resident
+        # in VMEM (attention.py docstring: T·H·dk = T·channels ≲ 2M elems);
+        # past that Mosaic fails at compile time, so reject here and fall
+        # back to the XLA einsum path (which will OOM gracefully instead).
         return (self.flash and t % 128 == 0 and t >= 1536
+                and t * self.channels <= 2_000_000
                 and jax.default_backend() not in ("cpu",))
 
     def __call__(self, x, rel_bias=None):

@@ -42,6 +42,16 @@ from ttts_tpu.train.steps import (
 from ttts_tpu.train.trainer import Trainer
 
 
+def _cadence(cfg: TTTSConfig):
+    """Trainer cadences in MICRO-steps. With optax.MultiSteps accumulation
+    the jitted step runs once per micro-batch, so train_steps/save_freq/
+    log_every (which the config states in OPTIMIZER updates, reference
+    semantics gpt/train.py:99-136) must all be scaled by accumulate_num —
+    otherwise checkpoint numbering and log cadence silently switch units."""
+    m = max(cfg.train.accumulate_num, 1)
+    return (cfg.train.train_steps * m, cfg.train.save_freq * m, 100 * m)
+
+
 def _simple_batches(dataset, batch_size: int, seed: int):
     """Shuffled index batches, re-seeded per epoch."""
 
@@ -90,13 +100,12 @@ def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None)
                           text_weight=cfg.train.text_weight,
                           mel_weight=cfg.train.mel_weight)
     )
+    train_steps, save_freq, log_every = _cadence(cfg)
     trainer = Trainer(
         lambda s, b, k: step(s, b, k), state, data,
         logs_folder or cfg.train.logs_folder,
-        # train_steps counts OPTIMIZER updates (reference semantics:
-        # the accumulation loop is inside one step, gpt/train.py:99-112)
-        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
-        cfg.train.save_freq, cfg.train.keep_ckpts, mesh=make_mesh(cfg.mesh),
+        train_steps, save_freq, cfg.train.keep_ckpts, log_every=log_every,
+        mesh=make_mesh(cfg.mesh),
     )
     trainer.maybe_resume()
     return trainer.train()
@@ -117,13 +126,11 @@ def train_clvp(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None
         tx=with_accumulation(make_adamw(cfg.train.lr, cfg.train.warmup_steps),
                              cfg.train.accumulate_num))
     step = jax.jit(functools.partial(clvp_train_step, model=model))
+    train_steps, save_freq, log_every = _cadence(cfg)
     trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
                       logs_folder or cfg.train.logs_folder,
-        # train_steps counts OPTIMIZER updates (reference semantics:
-        # the accumulation loop is inside one step, gpt/train.py:99-112)
-        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
-                      cfg.train.save_freq, cfg.train.keep_ckpts,
-                      mesh=make_mesh(cfg.mesh))
+                      train_steps, save_freq, cfg.train.keep_ckpts,
+                      log_every=log_every, mesh=make_mesh(cfg.mesh))
     trainer.maybe_resume()
     return trainer.train()
 
@@ -160,13 +167,11 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
             unconditioned_percentage=cfg.train.unconditioned_percentage,
         )
     )
+    train_steps, save_freq, log_every = _cadence(cfg)
     trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
                       logs_folder or cfg.train.logs_folder,
-        # train_steps counts OPTIMIZER updates (reference semantics:
-        # the accumulation loop is inside one step, gpt/train.py:99-112)
-        cfg.train.train_steps * max(cfg.train.accumulate_num, 1),
-                      cfg.train.save_freq, cfg.train.keep_ckpts,
-                      mesh=make_mesh(cfg.mesh))
+                      train_steps, save_freq, cfg.train.keep_ckpts,
+                      log_every=log_every, mesh=make_mesh(cfg.mesh))
     trainer.maybe_resume()
     return trainer.train()
 

@@ -91,7 +91,14 @@ class Trainer:
     def _note_skip(self, skipped: float):
         self._nonfinite_run = self._nonfinite_run + 1 if skipped > 0 else 0
         if self._nonfinite_run >= self.max_consecutive_nonfinite:
-            self.ckpt.save(self.step, self.state, wait=True)
+            # the save_freq branch may already have checkpointed this exact
+            # step — Orbax raises on duplicate steps, which would mask the
+            # diverged-model RuntimeError below; never let the save win.
+            if self.ckpt.latest_step() != self.step:
+                try:
+                    self.ckpt.save(self.step, self.state, wait=True)
+                except Exception:
+                    self.logger.exception("divergence-abort checkpoint failed")
             raise RuntimeError(
                 f"aborting: {self._nonfinite_run} consecutive "
                 "non-finite-gradient steps (model diverged); last "
