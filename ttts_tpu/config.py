@@ -212,6 +212,9 @@ class ClassifierConfig:
     dropout: float = 0.0
     kernel_size: int = 5
     distribute_zero_label: bool = False
+    # dataset crop length in mel frames (reference `dataset.pad_to_samples`,
+    # ttts/classifier/config.json)
+    pad_to_mel_frames: int = 700
 
 
 @dataclass(frozen=True)

@@ -240,3 +240,68 @@ class CLVPDataset:
             "text": np.stack([_pad_to(e["text"], lt) for e in ex]),
             "speech_tokens": np.stack([_pad_to(e["speech_tokens"], ls) for e in ex]),
         }
+
+
+class PreprocessedMelDataset:
+    """Clean/noise `.mel` sidecars for the audio-quality classifier
+    (ttts/classifier/dataset.py:13-58 PreprocessedMelDataset).
+
+    Each line of `clean_list` / `noise_list` is either a wav path (its
+    `<wav>.mel.npy` sidecar is loaded, reference `:23-26`) or a directory
+    (recursive glob over `*.mel.npy` sidecars, reference `:27-29`). Clean
+    lines label 0, noise lines label 1. Mels are random-cropped (or
+    zero-padded) to `pad_to` frames (reference `:44-51`), channels-last
+    (T, spec_dim)."""
+
+    def __init__(self, clean_list: str, noise_list: str, pad_to: int = 700,
+                 spec_dim: int = 100,
+                 rng: Optional[np.random.Generator] = None):
+        self.items: List[tuple] = []
+        for list_path, label in ((clean_list, 0), (noise_list, 1)):
+            for line in pathlib.Path(list_path).read_text().splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                if line.endswith(".wav"):
+                    self.items.append((line + ".mel.npy", label))
+                else:
+                    self.items.extend(
+                        (str(p), label)
+                        for p in sorted(pathlib.Path(line).rglob("*.mel.npy"))
+                    )
+        self.pad_to = pad_to
+        self.spec_dim = spec_dim
+        self.rng = rng or np.random.default_rng(0)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Optional[dict]:
+        path, label = self.items[idx]
+        try:
+            mel = np.asarray(np.load(path), np.float32)
+            if mel.ndim == 3:
+                mel = mel[0]
+            # sidecars are channel-first (spec_dim, T) — pipeline.py cmd_mel /
+            # reference mel_extract.py; spec_dim disambiguates short clips
+            # where a min/max-shape heuristic would mis-orient
+            if mel.shape[-1] != self.spec_dim:
+                mel = mel.T
+            t = mel.shape[0]
+            if t >= self.pad_to:
+                start = int(self.rng.integers(0, t - self.pad_to + 1))
+                mel = mel[start : start + self.pad_to]
+            else:
+                mel = np.pad(mel, ((0, self.pad_to - t), (0, 0)))
+            return {"mel": mel, "label": int(label)}
+        except Exception:
+            return None
+
+    def collate(self, examples, pad_to: int = 0):
+        ex = [e for e in examples if e is not None]
+        if not ex:
+            return None
+        return {
+            "mel": np.stack([e["mel"] for e in ex]),
+            "labels": np.asarray([e["label"] for e in ex], np.int32),
+        }

@@ -68,7 +68,14 @@ def load_model(name: str, ckpt_path: Optional[str] = None,
             if "g" in tree:  # paired GAN checkpoint — generator side
                 tree = tree["g"]
             if isinstance(tree, dict) and "params" in tree:
-                variables = {"params": tree["params"]}
+                inner = tree["params"]
+                # TrainState.params holds the FULL flax variables dict
+                # ({"params": ...}) for models init'd whole (mains.py) —
+                # re-wrapping it would double-nest and crash apply()
+                if isinstance(inner, dict) and "params" in inner:
+                    variables = dict(inner)
+                else:
+                    variables = {"params": inner}
                 if tree.get("extra_vars"):
                     variables.update(tree["extra_vars"])
             else:

@@ -27,6 +27,7 @@ from ttts_tpu.data.datasets import (
     CLVPDataset,
     DiffusionDataset,
     GptTtsDataset,
+    PreprocessedMelDataset,
     VQGANDataset,
 )
 from ttts_tpu.data.loader import DataLoader, EpochLoader
@@ -176,6 +177,38 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
     return trainer.train()
 
 
+def train_classifier(cfg: TTTSConfig, clean_list: str, noise_list: str,
+                     logs_folder: Optional[str] = None):
+    """Audio-quality classifier over clean/noise `.mel` sidecar lists
+    (ttts/classifier/train.py:36-120: AdamW lr 3e-4 hardcoded at `:50`,
+    betas (0.9, 0.9999), wd 0.01, clip 1.0, no warmup). Its checkpoints feed
+    `prepare.misc classify` → noise_files.txt → `pipeline filter-noise`."""
+    from ttts_tpu.models.classifier import AudioMiniEncoderWithClassifierHead
+    from ttts_tpu.train.steps import classifier_train_step
+
+    model = AudioMiniEncoderWithClassifierHead(cfg.classifier)
+    ds = PreprocessedMelDataset(clean_list, noise_list,
+                                pad_to=cfg.classifier.pad_to_mel_frames,
+                                spec_dim=cfg.classifier.spec_dim,
+                                rng=np.random.default_rng(cfg.train.seed))
+    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+    ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
+    b0 = ds.collate([ex])
+    params = model.init(jax.random.key(cfg.train.seed), jnp.asarray(b0["mel"]))
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=make_adamw(3e-4, warmup_steps=0, betas=(0.9, 0.9999),
+                      weight_decay=0.01, grad_clip=1.0),
+    )
+    step = jax.jit(functools.partial(classifier_train_step, model=model))
+    trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
+                      logs_folder or cfg.train.logs_folder,
+                      cfg.train.train_steps, cfg.train.save_freq,
+                      cfg.train.keep_ckpts, mesh=make_mesh(cfg.mesh))
+    trainer.maybe_resume()
+    return trainer.train()
+
+
 def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
     """GAN trainer: two states threaded through one step function. Checkpoints
     hold {'g': g_state, 'd': d_state} (the reference's G_/D_ pairs)."""
@@ -284,14 +317,23 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("model", choices=["gpt", "diffusion", "vqvae", "clvp"])
+    p.add_argument("model",
+                   choices=["gpt", "diffusion", "vqvae", "clvp", "classifier"])
     p.add_argument("--config", default=None)
-    p.add_argument("--manifest", required=True)
+    p.add_argument("--manifest", default=None)
     p.add_argument("--logs", default=None)
     p.add_argument("--gpt-ckpt", default=None, help="frozen GPT checkpoint dir (diffusion)")
+    p.add_argument("--clean", default=None, help="clean wav/dir list file (classifier)")
+    p.add_argument("--noise", default=None, help="noise wav/dir list file (classifier)")
     args = p.parse_args(argv)
+    if args.model == "classifier":
+        assert args.clean and args.noise, "--clean and --noise required"
+    else:
+        assert args.manifest, "--manifest required"
     cfg = load_config(args.config) if args.config else default_config()
-    if args.model == "gpt":
+    if args.model == "classifier":
+        train_classifier(cfg, args.clean, args.noise, args.logs)
+    elif args.model == "gpt":
         train_gpt(cfg, args.manifest, args.logs)
     elif args.model == "clvp":
         train_clvp(cfg, args.manifest, args.logs)
@@ -303,7 +345,11 @@ def main(argv=None):
         assert args.gpt_ckpt, "--gpt-ckpt required"
         _, tree = CheckpointManager(args.gpt_ckpt).restore()
         gpt_params = tree["params"] if "params" in tree else tree
-        train_diffusion(cfg, args.manifest, {"params": gpt_params}, args.logs)
+        # TrainState.params from train_gpt is already the full variables
+        # dict ({"params": ...}); wrap only a bare param tree
+        if not (isinstance(gpt_params, dict) and "params" in gpt_params):
+            gpt_params = {"params": gpt_params}
+        train_diffusion(cfg, args.manifest, gpt_params, args.logs)
 
 
 if __name__ == "__main__":

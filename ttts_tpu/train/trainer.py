@@ -83,8 +83,15 @@ class Trainer:
     def _put(self, batch: Dict[str, np.ndarray]):
         if self.mesh is None:
             return {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        # collaters drop failed examples (gpt/dataset.py:49-51 semantics), so
+        # a batch can arrive smaller than batch_size; when the leading dim
+        # doesn't divide the data axis, fall back to replicated placement —
+        # GSPMD still runs the program correctly, just unsharded.
+        n_data = self.mesh.shape.get("data", 1)
         return {
-            k: jax.device_put(v, shard_batch(self.mesh, np.ndim(v)))
+            k: (jax.device_put(v, shard_batch(self.mesh, np.ndim(v)))
+                if np.shape(v) and np.shape(v)[0] % n_data == 0
+                else jax.numpy.asarray(v))
             for k, v in batch.items()
         }
 
