@@ -117,6 +117,24 @@ def bench_all():
     rows.append({"config": "3_gpt_ar_decode", "tokens_per_sec": round(toks, 1),
                  "batch": b3, "gen_len": gen_len, "mfu_est": round(gpt_mfu, 5)})
 
+    # 3b: the serving default — lax.while_loop early exit once every stream
+    # has emitted stop_mel_token (api.py always decodes this way); tokens/s
+    # counts the tokens actually generated before each stream's stop
+    codes3b = np.asarray(tts._gpt_sample_fn(
+        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1), gen_len,
+        b3, early_stop=True))
+    stop_tok = tts.cfg.gpt.stop_mel_token
+    gen_counts = np.minimum((codes3b != stop_tok).sum(axis=-1) + 1, gen_len)
+    dt3b = _timeit(lambda: np.asarray(tts._gpt_sample_fn(
+        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1), gen_len,
+        b3, early_stop=True)))
+    rows.append({"config": "3b_gpt_ar_decode_early_exit",
+                 "tokens_per_sec": round(float(gen_counts.sum()) / dt3b, 1),
+                 "batch": b3, "max_gen_len": gen_len,
+                 "gen_len_actual": [int(x) for x in gen_counts],
+                 "wall_s": round(dt3b, 4),
+                 "note": "serving-default while_loop early stop (fixed-length row 3 is the honest throughput number)"})
+
     # ---- config 4: diffusion(50) + vocos ------------------------------------
     bucket = 192                      # 8.192 s utterance
     out_len = bucket * 4

@@ -161,3 +161,85 @@ class TestResample:
         x = rng.standard_normal((3, 1000)).astype(np.float32)
         y = resample(jnp.asarray(x), 24000, 24000)
         np.testing.assert_array_equal(np.asarray(y), x)
+
+
+class TestMelFilterbankGolden:
+    """Independent check of ops.mel.mel_filterbank.
+
+    tests/refshim.py makes the reference's librosa delegate to OUR
+    filterbank, so cross-parity tests cannot catch a filterbank bug (both
+    sides would share it). This class breaks that circularity with (a) a
+    from-scratch in-test port of librosa.filters.mel's published algorithm
+    (mel_frequencies slaney breakpoints + outer-difference triangles +
+    slaney area norm) and (b) analytically pinned constants of the slaney
+    scale itself."""
+
+    @staticmethod
+    def _librosa_mel(sr, n_fft, n_mels, fmin=0.0, fmax=None, htk=False,
+                     norm="slaney"):
+        fmax = sr / 2 if fmax is None else fmax
+
+        def hz_to_mel(f):
+            f = np.asarray(f, np.float64)
+            if htk:
+                return 2595.0 * np.log10(1.0 + f / 700.0)
+            out = f * 3.0 / 200.0
+            log_t = f >= 1000.0
+            out = np.where(log_t, 15.0 + np.log(np.where(log_t, f, 1000.0) / 1000.0)
+                           / (np.log(6.4) / 27.0), out)
+            return out
+
+        def mel_to_hz(m):
+            m = np.asarray(m, np.float64)
+            if htk:
+                return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+            out = m * 200.0 / 3.0
+            log_t = m >= 15.0
+            return np.where(log_t, 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0)), out)
+
+        mel_f = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+        fftfreqs = np.linspace(0, sr / 2.0, 1 + n_fft // 2)
+        fdiff = np.diff(mel_f)
+        ramps = np.subtract.outer(mel_f, fftfreqs)
+        weights = np.zeros((n_mels, 1 + n_fft // 2))
+        for i in range(n_mels):
+            lower = -ramps[i] / fdiff[i]
+            upper = ramps[i + 2] / fdiff[i + 1]
+            weights[i] = np.maximum(0, np.minimum(lower, upper))
+        if norm == "slaney":
+            weights *= (2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels]))[:, None]
+        return weights
+
+    def test_slaney_codec_config(self):
+        # the VITS codec filterbank (32 kHz, n_fft 2048, 128 mel)
+        ours = mel_filterbank(32000, 2048, 128)
+        ref = self._librosa_mel(32000, 2048, 128)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-7)
+
+    def test_htk_acoustic_config(self):
+        # the torchaudio acoustic filterbank (24 kHz, n_fft 1024, 100 mel, htk)
+        ours = mel_filterbank(24000, 1024, 100, scale="htk", norm=None)
+        ref = self._librosa_mel(24000, 1024, 100, htk=True, norm=None)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-7)
+
+    def test_slaney_scale_pinned_constants(self):
+        """Analytic facts of the slaney scale, independent of any
+        implementation: linear 200/3 Hz-per-mel below 1 kHz (so mel(1000)=15,
+        mel(500)=7.5), exactly log above with step ln(6.4)/27 (so
+        hz(15+27)=6400, hz(15+13.5)=sqrt(6.4)*1000)."""
+        from ttts_tpu.ops.mel import _hz_to_mel, _mel_to_hz
+
+        assert abs(_hz_to_mel(1000.0, "slaney") - 15.0) < 1e-12
+        assert abs(_hz_to_mel(500.0, "slaney") - 7.5) < 1e-12
+        assert abs(_mel_to_hz(42.0, "slaney") - 6400.0) < 1e-8
+        assert abs(_mel_to_hz(28.5, "slaney") - 1000.0 * np.sqrt(6.4)) < 1e-8
+        # htk: mel(700 Hz) = 2595*log10(2)
+        assert abs(_hz_to_mel(700.0, "htk") - 2595.0 * np.log10(2.0)) < 1e-10
+
+    def test_row_sums_with_slaney_norm(self):
+        """Each slaney-normalized triangle integrates to ~2/(hz width) ×
+        area ⇒ the weighted row sum approximates 1 at fine FFT resolution
+        (a well-known librosa property, coarse bound)."""
+        fb = np.asarray(mel_filterbank(16000, 4096, 40))
+        sums = fb.sum(axis=1) * (8000.0 / (4096 // 2))
+        assert np.all(sums > 0.9) and np.all(sums < 1.1)

@@ -90,7 +90,7 @@ class TextToSpeech:
         self.vocos = Vocos(c.vocos)
         self.clvp = CLVP(c.clvp)
         self.params = params if params is not None else self._random_init(
-            seed, init_stages or self.ALL_STAGES
+            seed, self.ALL_STAGES if init_stages is None else init_stages
         )
         self.mesh = mesh
         if mesh is not None:
@@ -109,9 +109,9 @@ class TextToSpeech:
         just runs the program unsharded)."""
         if self.mesh is None:
             return x
-        from ttts_tpu.parallel import shard_batch
+        from ttts_tpu.parallel import data_axis_size, shard_batch
 
-        n_data = self.mesh.shape.get("data", 1)
+        n_data = data_axis_size(self.mesh)
         if x.shape[0] % n_data != 0:
             return x
         return jax.device_put(x, shard_batch(self.mesh, x.ndim))
@@ -131,6 +131,33 @@ class TextToSpeech:
 
             self._cast_cache[stage] = (src, cast_params_for_inference(src))
         return self._cast_cache[stage][1]
+
+    @classmethod
+    def from_checkpoints(cls, cfg: Optional[TTTSConfig] = None, *,
+                         codec=None, gpt=None, diffusion=None, vocos=None,
+                         clvp=None, seed: int = 0, **kw) -> "TextToSpeech":
+        """Serving pipeline from trained checkpoints — the reference's
+        infer_utils.load_model registry + api_zh.py:8-14 loading flow, minus
+        its hardcoded home-dir paths (and with load_model('vqvae') actually
+        working — the reference's is bit-rotted, infer_utils.py:18-22).
+
+        Each stage arg is a Trainer checkpoint dir (Orbax; paired GAN trees
+        resolve to the generator side) or a release .npz from
+        export_release. Stages left None stay random-init (smoke tests)."""
+        from ttts_tpu.infer_utils import load_model
+
+        cfg = cfg or default_config()
+        registry = {"codec": ("vqvae", codec), "gpt": ("gpt", gpt),
+                    "diffusion": ("diffusion", diffusion),
+                    "vocos": ("vocos", vocos), "clvp": ("clvp", clvp)}
+        missing = tuple(s for s, (_, p) in registry.items() if p is None)
+        tts = cls(cfg, seed=seed, init_stages=missing, **kw)
+        for stage, (name, path) in registry.items():
+            if path is None:
+                continue
+            _, variables = load_model(name, str(path), cfg)
+            tts.set_params(stage, variables)
+        return tts
 
     def set_params(self, stage: str, tree) -> None:
         """Replace a stage's weights for serving. Subtrees must be replaced

@@ -282,6 +282,11 @@ class MeshConfig:
 
     data: int = -1  # -1: all remaining devices
     model: int = 1
+    # number of slices (DCN-connected groups). dcn > 1 builds a two-level
+    # (dcn, data, model) mesh: batch shards over dcn×data (gradient psum
+    # crosses DCN once per step), model parallelism stays on the ICI-
+    # contiguous innermost axis (SURVEY §5.8; scaling-book recipe).
+    dcn: int = 1
     axis_names: Tuple[str, ...] = ("data", "model")
 
 

@@ -108,6 +108,9 @@ def cmd_vq(args):
     variables = tree["g"] if "g" in tree else tree
     if "params" in variables and "extra_vars" in variables:  # TrainState tree
         variables = {"params": variables["params"], **variables["extra_vars"]}
+    from ttts_tpu.models.quantize import rvq_state_from_dict
+
+    variables = rvq_state_from_dict(variables)  # re-struct restored codebooks
 
     extract = jax.jit(
         lambda wav, spec, sl: codec.apply(variables, wav, spec, sl,

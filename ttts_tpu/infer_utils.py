@@ -80,4 +80,10 @@ def load_model(name: str, ckpt_path: Optional[str] = None,
                     variables.update(tree["extra_vars"])
             else:
                 variables = tree
+    if variables is not None:
+        from ttts_tpu.models.quantize import rvq_state_from_dict
+
+        # Orbax/npz restores flatten struct dataclasses to dicts; codebook
+        # collections must be RVQState structs again before apply()
+        variables = rvq_state_from_dict(variables)
     return model, variables

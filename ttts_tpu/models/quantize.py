@@ -47,6 +47,27 @@ class RVQState:
     inited: jax.Array
 
 
+def rvq_state_from_dict(tree):
+    """Rebuild RVQState structs inside a restored variables tree.
+
+    Orbax `restore()` without a template (infer_utils.load_model,
+    pipeline cmd_vq) returns plain nested dicts; any dict whose keys are
+    exactly the RVQState fields is rehydrated into the struct so
+    `quantizer.encode/decode` work on restored checkpoints."""
+    import jax.numpy as jnp
+
+    fields = {"embed", "embed_avg", "cluster_size", "inited"}
+
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == fields:
+                return RVQState(**{k: jnp.asarray(v) for k, v in node.items()})
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(tree)
+
+
 def rvq_init(
     key: jax.Array, n_q: int, bins: int, dim: int, kmeans_init: bool = True
 ) -> RVQState:

@@ -1,1 +1,1 @@
-from ttts_tpu.parallel.mesh import make_mesh, shard_batch, replicate, with_sharding  # noqa: F401
+from ttts_tpu.parallel.mesh import data_axis_size, make_mesh, shard_batch, replicate, with_sharding  # noqa: F401

@@ -20,27 +20,41 @@ from ttts_tpu.config import MeshConfig
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over all (or given) devices.
+    """Build a (data, model) — or, with cfg.dcn > 1, (dcn, data, model) —
+    mesh over all (or given) devices.
 
-    cfg.data == -1 means "all devices not claimed by other axes".
+    cfg.data == -1 means "all devices not claimed by other axes". The dcn
+    axis is the SLOWEST-varying over the device list, matching multi-slice
+    enumeration (jax.devices() groups by slice), so 'model' collectives ride
+    ICI and only the batch-gradient psum crosses DCN.
     """
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = max(1, cfg.model)
-    if n % model != 0:
-        raise ValueError(f"{n} devices not divisible by model={model}")
-    data = cfg.data if cfg.data != -1 else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dcn = max(1, getattr(cfg, "dcn", 1))
+    if n % (model * dcn) != 0:
+        raise ValueError(f"{n} devices not divisible by dcn×model={dcn}×{model}")
+    data = cfg.data if cfg.data != -1 else n // (model * dcn)
+    if dcn * data * model != n:
+        raise ValueError(f"mesh {dcn}x{data}x{model} != {n} devices")
+    if dcn > 1:
+        arr = np.asarray(devices).reshape(dcn, data, model)
+        return Mesh(arr, axis_names=("dcn",) + tuple(cfg.axis_names))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=cfg.axis_names)
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Total batch-sharding ways: dcn × data on a two-level mesh."""
+    return mesh.shape.get("data", 1) * mesh.shape.get("dcn", 1)
+
+
 def shard_batch(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
-    """NamedSharding placing the batch dimension on the 'data' mesh axis."""
+    """NamedSharding placing the batch dimension on the 'data' mesh axis
+    (on a two-level mesh: over ('dcn', 'data') combined)."""
     spec = [None] * ndim
-    spec[batch_axis] = "data"
+    spec[batch_axis] = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
     return NamedSharding(mesh, P(*spec))
 
 

@@ -79,7 +79,12 @@ def export_release(params: Any, path: str | pathlib.Path, drop_prefixes=("enc_q"
             arr = np.asarray(tree)
             flat[key] = arr.astype(np.float16) if arr.dtype == np.float32 else arr
 
-    visit(jax.tree_util.tree_map(np.asarray, params))
+    # struct dataclasses (RVQState codebooks) flatten to plain dicts so the
+    # visitor can walk them; load_model rehydrates on restore
+    from flax import serialization
+
+    visit(serialization.to_state_dict(
+        jax.tree_util.tree_map(np.asarray, params)))
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     meta = json.dumps(config or {})

@@ -209,21 +209,30 @@ def train_classifier(cfg: TTTSConfig, clean_list: str, noise_list: str,
     return trainer.train()
 
 
-def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
-    """GAN trainer: two states threaded through one step function. Checkpoints
-    hold {'g': g_state, 'd': d_state} (the reference's G_/D_ pairs)."""
-    from ttts_tpu.models.discriminator import MultiPeriodDiscriminator
-    from ttts_tpu.models.vqvae import SynthesizerTrn
-    from ttts_tpu.ops.mel import vits_spectrogram
+def make_vqvae_augment_cfg(cfg: TTTSConfig):
+    from ttts_tpu.data.augment import AugmentConfig
 
     a = cfg.audio
-    spec_ch = a.filter_length // 2 + 1
-    gen = SynthesizerTrn(cfg.vqvae, spec_channels=spec_ch,
-                         segment_frames=cfg.train.segment_size // a.hop_length)
-    disc = MultiPeriodDiscriminator()
-    ds = VQGANDataset(manifest, sample_rate=a.sampling_rate, hop_length=a.hop_length)
+    return AugmentConfig(
+        sampling_rate=a.sampling_rate, win_length=a.win_length,
+        hop_length=a.hop_length,
+        formant_shift=cfg.train.formant_shift, pitch_shift=cfg.train.pitch_shift,
+        pitch_range=cfg.train.pitch_range, q_min=cfg.train.q_min,
+        q_max=cfg.train.q_max, num_peak=cfg.train.num_peak,
+        g_min=cfg.train.g_min, g_max=cfg.train.g_max,
+    )
 
-    # O(files) header reads (native wav_info) — no decode at startup
+
+def make_vqvae_loader(cfg: TTTSConfig, ds: VQGANDataset):
+    """The codec GAN's host data path, exactly as training runs it: O(files)
+    header-only length scan → DistributedBucketSampler → thread-pool
+    DataLoader with the NANSY formant/pitch warp in the collate (the
+    reference's praat stage, vqvae/train.py:62-116, moved host-side).
+    Shared by train_vqvae and scripts/bench_loader.py so loader-throughput
+    measurements exercise the real path."""
+    from ttts_tpu.data.augment import warp_batch_np
+
+    a = cfg.audio
     lengths = []
     for r in ds.rows:
         try:
@@ -233,16 +242,7 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
         except Exception:
             lengths.append(0)
 
-    from ttts_tpu.data.augment import AugmentConfig, warp_batch_np
-
-    aug_cfg = AugmentConfig(
-        sampling_rate=a.sampling_rate, win_length=a.win_length,
-        hop_length=a.hop_length,
-        formant_shift=cfg.train.formant_shift, pitch_shift=cfg.train.pitch_shift,
-        pitch_range=cfg.train.pitch_range, q_min=cfg.train.q_min,
-        q_max=cfg.train.q_max, num_peak=cfg.train.num_peak,
-        g_min=cfg.train.g_min, g_max=cfg.train.g_max,
-    )
+    aug_cfg = make_vqvae_augment_cfg(cfg)
     warp_rng = np.random.default_rng(cfg.train.seed + 17)
 
     def collate(items):
@@ -267,7 +267,24 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
         sampler.set_epoch(epoch)
         return DataLoader(ds, list(sampler), collate)
 
-    data = EpochLoader(make)
+    return EpochLoader(make)
+
+
+def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
+    """GAN trainer: two states threaded through one step function. Checkpoints
+    hold {'g': g_state, 'd': d_state} (the reference's G_/D_ pairs)."""
+    from ttts_tpu.models.discriminator import MultiPeriodDiscriminator
+    from ttts_tpu.models.vqvae import SynthesizerTrn
+    from ttts_tpu.ops.mel import vits_spectrogram
+
+    a = cfg.audio
+    spec_ch = a.filter_length // 2 + 1
+    gen = SynthesizerTrn(cfg.vqvae, spec_channels=spec_ch,
+                         segment_frames=cfg.train.segment_size // a.hop_length)
+    disc = MultiPeriodDiscriminator()
+    ds = VQGANDataset(manifest, sample_rate=a.sampling_rate, hop_length=a.hop_length)
+    aug_cfg = make_vqvae_augment_cfg(cfg)
+    data = make_vqvae_loader(cfg, ds)
 
     it = iter(data)
     b0 = next(it)

@@ -22,7 +22,7 @@ from typing import Callable, Dict, Iterable, Iterator, Optional
 import jax
 import numpy as np
 
-from ttts_tpu.parallel import make_mesh, replicate, shard_batch
+from ttts_tpu.parallel import data_axis_size, make_mesh, replicate, shard_batch
 from ttts_tpu.train.checkpoints import CheckpointManager
 from ttts_tpu.utils.logging import SummaryWriter, get_logger
 
@@ -87,7 +87,7 @@ class Trainer:
         # a batch can arrive smaller than batch_size; when the leading dim
         # doesn't divide the data axis, fall back to replicated placement —
         # GSPMD still runs the program correctly, just unsharded.
-        n_data = self.mesh.shape.get("data", 1)
+        n_data = data_axis_size(self.mesh)
         return {
             k: (jax.device_put(v, shard_batch(self.mesh, np.ndim(v)))
                 if np.shape(v) and np.shape(v)[0] % n_data == 0
