@@ -267,6 +267,21 @@ def main():
 
     check("serving_tts(bf16+fused-cond)", serving)
 
+    # ---- five-stage recipe on the chip (train→extract→train→serve through
+    # the real CLIs; --recipe flag since it adds ~10 min of compiles) -------
+    if "--recipe" in sys.argv:
+        def recipe():
+            import tempfile
+
+            sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+            from test_five_stage_recipe import run_recipe
+
+            with tempfile.TemporaryDirectory() as d:
+                out = run_recipe(pathlib.Path(d))
+                assert np.isfinite(out["wav"]).all()
+
+        check("five_stage_recipe(cli-train->serve)", recipe)
+
     print(("ALL PASS" if not failures else f"FAILURES: {failures}"), flush=True)
     return 1 if failures else 0
 

@@ -20,6 +20,13 @@ import json
 import pathlib
 import sys
 
+if __name__ == "__main__":  # resumable dev/smoke driver (see bottom)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
 
@@ -110,76 +117,95 @@ def _write_asr_hook(tmp: pathlib.Path) -> str:
     return "recipe_asr_hook"
 
 
-@pytest.mark.slow
-def test_five_stage_recipe(tmp_path):
+def run_recipe(work, cfg=RECIPE_CFG, skip_existing=False):
+    """Drive all five stages through the real CLIs inside `work`.
+
+    skip_existing=True resumes a partially-completed work dir (a stage is
+    skipped when its output artifact already exists) — used for iterating on
+    late stages without re-paying the codec GAN compile, and by
+    scripts/tpu_smoke.py to run the recipe on the chip."""
+    import pathlib
+
+    work = pathlib.Path(work)
+    work.mkdir(parents=True, exist_ok=True)
     from ttts_tpu.data.prepare import pipeline
     from ttts_tpu.train import mains
 
-    cfg_path = tmp_path / "cfg.json"
-    cfg_path.write_text(json.dumps(to_dict(RECIPE_CFG)))
+    cfg_path = work / "cfg.json"
+    cfg_path.write_text(json.dumps(to_dict(cfg)))
 
     # ---- stage 0a: VAD raw recordings into clips (prepare/vad_process.py)
-    raw, clips = tmp_path / "raw", tmp_path / "clips"
-    _make_raw_corpus(raw)
-    pipeline.main(["vad", "--in-dir", str(raw), "--out-dir", str(clips)])
+    raw, clips = work / "raw", work / "clips"
+    if not (skip_existing and clips.exists()):
+        _make_raw_corpus(raw)
+        pipeline.main(["vad", "--in-dir", str(raw), "--out-dir", str(clips)])
     n_clips = len(list(clips.glob("*.wav")))
     assert n_clips >= 4, f"VAD produced too few clips: {n_clips}"
 
     # ---- stage 0b: ASR → jsonl manifest (asr_process.py, injected backend)
-    manifest = tmp_path / "data.jsonl"
-    hook = _write_asr_hook(tmp_path)
-    pipeline.main(["asr", "--in-dir", str(clips), "--out", str(manifest),
-                   "--hook", hook])
+    manifest = work / "data.jsonl"
+    if not (skip_existing and manifest.exists()):
+        hook = _write_asr_hook(work)
+        pipeline.main(["asr", "--in-dir", str(clips), "--out", str(manifest),
+                       "--hook", hook])
+        rows = read_manifest(manifest)
+        assert len(rows) == n_clips  # all Chinese, ≥5 chars → none filtered
+
+        from ttts_tpu.text.pinyin import HAVE_PYPINYIN
+
+        if not HAVE_PYPINYIN:
+            from ttts_tpu.data.manifest import write_manifest
+
+            rows = [{**r, "text": PINYIN[r["text"]]} for r in rows]
+            write_manifest(manifest, rows)
     rows = read_manifest(manifest)
-    assert len(rows) == n_clips  # all Chinese, ≥5 chars → none filtered
-
-    from ttts_tpu.text.pinyin import HAVE_PYPINYIN
-
-    if not HAVE_PYPINYIN:
-        from ttts_tpu.data.manifest import write_manifest
-
-        rows = [{**r, "text": PINYIN[r["text"]]} for r in rows]
-        write_manifest(manifest, rows)
 
     # ---- stage 0c: BPE corpus merge (prepare/bpe_all_text_to_one_file.py)
-    corpus = tmp_path / "bpe.txt"
+    corpus = work / "bpe.txt"
     pipeline.main(["bpe-corpus", str(manifest), "--out", str(corpus)])
     assert len(corpus.read_text().strip().splitlines()) == len(rows)
 
     # ---- stage 1: train the VQ-VAE codec GAN (vqvae/train.py)
-    logs_vqvae = tmp_path / "logs_vqvae"
-    mains.main(["vqvae", "--config", str(cfg_path), "--manifest", str(manifest),
-                "--logs", str(logs_vqvae)])
+    logs_vqvae = work / "logs_vqvae"
+    if not (skip_existing and (logs_vqvae / "ckpt").exists()):
+        mains.main(["vqvae", "--config", str(cfg_path), "--manifest",
+                    str(manifest), "--logs", str(logs_vqvae)])
     assert (logs_vqvae / "ckpt").exists()
 
     # ---- stage 1b: mel + VQ sidecar extraction with THAT checkpoint
     # (save_mel_to_disk.py + 2_save_vq_to_disk.py)
-    pipeline.main(["mel", "--manifest", str(manifest)])
-    pipeline.main(["vq", "--manifest", str(manifest),
-                   "--ckpt", str(logs_vqvae / "ckpt"),
-                   "--config", str(cfg_path)])
+    if not (skip_existing
+            and (pathlib.Path(rows[0]["path"] + ".vq.npy")).exists()):
+        pipeline.main(["mel", "--manifest", str(manifest)])
+        pipeline.main(["vq", "--manifest", str(manifest),
+                       "--ckpt", str(logs_vqvae / "ckpt"),
+                       "--config", str(cfg_path)])
     codes = load_sidecar(rows[0]["path"], "vq")
     assert codes is not None and codes.dtype == np.int32
-    assert codes.min() >= 0 and codes.max() < RECIPE_CFG.vqvae.codebook_bins
+    assert codes.min() >= 0 and codes.max() < cfg.vqvae.codebook_bins
 
     # ---- stage 2: train GPT on the VQ sidecars (gpt/train.py)
-    logs_gpt = tmp_path / "logs_gpt"
-    mains.main(["gpt", "--config", str(cfg_path), "--manifest", str(manifest),
-                "--logs", str(logs_gpt)])
+    logs_gpt = work / "logs_gpt"
+    if not (skip_existing and (logs_gpt / "ckpt").exists()):
+        mains.main(["gpt", "--config", str(cfg_path), "--manifest",
+                    str(manifest), "--logs", str(logs_gpt)])
     assert (logs_gpt / "ckpt").exists()
 
     # ---- stage 2.5: train CLVP (clvp/train.py)
-    logs_clvp = tmp_path / "logs_clvp"
-    mains.main(["clvp", "--config", str(cfg_path), "--manifest", str(manifest),
-                "--logs", str(logs_clvp)])
+    logs_clvp = work / "logs_clvp"
+    if not (skip_existing and (logs_clvp / "ckpt").exists()):
+        mains.main(["clvp", "--config", str(cfg_path), "--manifest",
+                    str(manifest), "--logs", str(logs_clvp)])
     assert (logs_clvp / "ckpt").exists()
 
     # ---- stage 3: train diffusion against the FROZEN GPT checkpoint
     # (diffusion/train.py:91 load_model('gpt'))
-    logs_diff = tmp_path / "logs_diff"
-    mains.main(["diffusion", "--config", str(cfg_path),
-                "--manifest", str(manifest), "--gpt-ckpt", str(logs_gpt / "ckpt"),
-                "--logs", str(logs_diff)])
+    logs_diff = work / "logs_diff"
+    if not (skip_existing and (logs_diff / "ckpt").exists()):
+        mains.main(["diffusion", "--config", str(cfg_path),
+                    "--manifest", str(manifest),
+                    "--gpt-ckpt", str(logs_gpt / "ckpt"),
+                    "--logs", str(logs_diff)])
     assert (logs_diff / "ckpt").exists()
 
     # ---- stage 4a: fp16 release export of the codec generator
@@ -187,9 +213,9 @@ def test_five_stage_recipe(tmp_path):
     from ttts_tpu.infer_utils import load_model
     from ttts_tpu.train.checkpoints import export_release
 
-    _, codec_vars = load_model("vqvae", str(logs_vqvae / "ckpt"), RECIPE_CFG)
+    _, codec_vars = load_model("vqvae", str(logs_vqvae / "ckpt"), cfg)
     assert codec_vars is not None and "codebook" in codec_vars
-    release = tmp_path / "codec_release.npz"
+    release = work / "codec_release.npz"
     export_release(codec_vars, release, drop_prefixes=("enc_q",),
                    config={"version": 2})
 
@@ -198,7 +224,7 @@ def test_five_stage_recipe(tmp_path):
     from ttts_tpu.api import TextToSpeech
 
     tts = TextToSpeech.from_checkpoints(
-        RECIPE_CFG,
+        cfg,
         codec=release,
         gpt=logs_gpt / "ckpt",
         diffusion=logs_diff / "ckpt",
@@ -212,3 +238,19 @@ def test_five_stage_recipe(tmp_path):
                   max_generate_length=32, voice_cache_key="v0")
     assert wav.ndim == 1 and wav.shape[0] > 1000
     assert np.isfinite(wav).all()
+    return {"manifest": manifest, "gpt": logs_gpt, "vqvae": logs_vqvae,
+            "clvp": logs_clvp, "diffusion": logs_diff, "release": release,
+            "wav": wav}
+
+
+@pytest.mark.slow
+def test_five_stage_recipe(tmp_path):
+    run_recipe(tmp_path)
+
+
+if __name__ == "__main__":
+    # resumable dev driver: python tests/test_five_stage_recipe.py /tmp/recipe_dev
+    # (CPU backend forced at the top of the file, like tests/conftest.py)
+    work = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/recipe_dev")
+    run_recipe(work, skip_existing=True)
+    print("RECIPE OK")

@@ -55,11 +55,17 @@ class CheckpointManager:
         self._mgr.close()
 
 
+SEP = "\x1f"  # key separator for release exports (see export_release)
+
+
 def export_release(params: Any, path: str | pathlib.Path, drop_prefixes=("enc_q",),
                    config: Optional[dict] = None):
     """Weights-only half-precision export, dropping training-only submodules
     (process_ckpt.savee semantics: fp16, enc_q stripped, config embedded).
-    Stored as an .npz with flattened `/`-joined keys + a JSON config blob."""
+    Stored as an .npz with flattened keys joined by an ASCII unit separator
+    (0x1f) + a JSON config blob. NOT '/', because flax param NAMES can
+    contain literal slashes (WeightNorm's "Conv_0/kernel/scale") which a
+    '/'-joined flatten would split into spurious nesting on reload."""
     import json
 
     flat = {}
@@ -67,13 +73,13 @@ def export_release(params: Any, path: str | pathlib.Path, drop_prefixes=("enc_q"
     def visit(tree, prefix=""):
         if isinstance(tree, dict):
             for k, v in tree.items():
-                visit(v, f"{prefix}{k}/")
+                visit(v, f"{prefix}{k}{SEP}")
         else:
             key = prefix[:-1]
             # the reference's savee drops keys that START with the prefix as a
             # module path (process_ckpt.py:14); substring matching would also
             # drop any key merely containing it
-            segs = key.split("/")
+            segs = key.split(SEP)
             if any(s == p for s in segs[:2] for p in drop_prefixes):
                 return
             arr = np.asarray(tree)
@@ -101,7 +107,9 @@ def load_release(path: str | pathlib.Path):
     for k in data.files:
         if k == "__config__":
             continue
-        parts = k.split("/")
+        # pre-r3 exports were '/'-joined; read them too (slash-named params
+        # from such files stay split — those exports were already broken)
+        parts = k.split(SEP) if SEP in k else k.split("/")
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
