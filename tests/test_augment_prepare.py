@@ -266,3 +266,67 @@ class TestSpeakerHygiene:
         rows = [json.loads(l) for l in out.read_text().splitlines()]
         assert [r["path"].rsplit("/", 1)[-1] for r in rows] == ["a.wav"]
         assert rows[0]["reason"] == "speaker-mismatch"
+
+
+class TestDeviceWarp:
+    """In-jit formant/pitch warp (warp_batch_device) vs the host spectral
+    warp. Exact agreement is not expected of phase vocoders across float
+    precisions; the contract is behavior-class: near-identity factors are
+    skipped identically, non-trivial factors track the host output closely,
+    and outputs are finite and peak-bounded."""
+
+    @staticmethod
+    def _clip():
+        rng = np.random.default_rng(0)
+        sr = 32000
+        t = np.arange(sr // 2) / sr
+        return (0.4 * np.sin(2 * np.pi * 160 * t)
+                + 0.1 * np.sin(2 * np.pi * 450 * t)
+                + 0.02 * rng.standard_normal(len(t))).astype(np.float32), sr
+
+    def test_identity_factors_pass_through(self):
+        from ttts_tpu.data.augment import gender_warp_j
+
+        x, sr = self._clip()
+        out = np.asarray(jax.jit(
+            lambda w: gender_warp_j(w, 1.0001, 1.0001, max_pitch=2.0)
+        )(jnp.asarray(x)))
+        np.testing.assert_allclose(out, x, atol=1e-6)
+
+    def test_matches_host_warp_behavior(self):
+        from ttts_tpu.data.augment import gender_warp_j, spectral_gender_warp
+
+        x, sr = self._clip()
+        for f_s, p_s, min_corr in [(1.25, 1.3, 0.97), (0.8, 0.7, 0.99),
+                                   (1.4, 1.0001, 0.999999)]:
+            ref = spectral_gender_warp(x, sr, f_s, p_s)
+            out = np.asarray(jax.jit(
+                lambda w: gender_warp_j(w, f_s, p_s, max_pitch=2.0)
+            )(jnp.asarray(x)))
+            corr = np.corrcoef(out, ref)[0, 1]
+            assert corr > min_corr, (f_s, p_s, corr)
+            assert np.isfinite(out).all() and np.abs(out).max() <= 1.0 + 1e-5
+
+    def test_pitch_shift_moves_fundamental(self):
+        """A 1.3× pitch shift must move a 200 Hz tone's spectral peak to
+        ~260 Hz (the perceptual contract of the augmentation)."""
+        from ttts_tpu.data.augment import _pitch_shift_j
+
+        sr = 32000
+        t = np.arange(sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+        y = np.asarray(_pitch_shift_j(jnp.asarray(x), 1.3, 2.0))
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        peak_hz = np.argmax(spec) * sr / len(y)
+        assert 245 < peak_hz < 275, peak_hz
+
+    def test_batch_sampling_and_fallback(self):
+        from ttts_tpu.data.augment import AugmentConfig, warp_batch_device
+
+        x, _ = self._clip()
+        wavs = jnp.asarray(np.stack([x] * 4))
+        out = np.asarray(warp_batch_device(jax.random.key(3), wavs,
+                                           AugmentConfig()))
+        assert out.shape == wavs.shape and np.isfinite(out).all()
+        # different per-clip factors → different outputs
+        assert np.abs(out[0] - out[1]).max() > 1e-3

@@ -99,6 +99,11 @@ class TextToSpeech:
             self.params = with_sharding(self.params, replicate(mesh))
         # conditioning cache: voice id → (prompt_codes, refer_mel)
         self._cond_cache: Dict[str, tuple] = {}
+        # when True, tts/tts_batch force a host sync after each stage and
+        # record wall times into last_stage_times (perf analysis only — the
+        # syncs serialize stages, so never enable on the serving path)
+        self.profile_stages = False
+        self.last_stage_times: Dict[str, float] = {}
         # serving weight cache: stage → (source_tree, bf16-cast tree)
         self._use_bf16 = use_bf16
         self._cast_cache: Dict[str, tuple] = {}
@@ -467,11 +472,15 @@ class TextToSpeech:
         """Batched streams: synthesize several texts against one voice in one
         GPT batch and one diffusion/vocoder batch (BASELINE config 5,
         'batched streams'). Returns a list of 24 kHz waveforms."""
+        import time as _time
+
         opts = PRESETS[preset]
         k = opts["num_autoregressive_samples"]
         n = len(texts)
         key = jax.random.key(seed)
         k1, k2 = jax.random.split(key)
+        prof = {} if self.profile_stages else None
+        t0 = _time.perf_counter()
 
         all_ids = [np.asarray(self.tok.encode(text_to_pinyin(t)), np.int32)
                    for t in texts]
@@ -483,6 +492,10 @@ class TextToSpeech:
         prompt_codes, refer_mel = self.get_conditioning(
             voice_wav, voice_sample_rate, voice_cache_key
         )
+        if prof is not None:
+            np.asarray(prompt_codes)
+            prof["conditioning"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
         lp = _round_up(prompt_codes.shape[1], 16)
         prompt_b = jnp.tile(
             jnp.pad(prompt_codes, ((0, 0), (0, lp - prompt_codes.shape[1]))), (n * k, 1)
@@ -493,6 +506,10 @@ class TextToSpeech:
             self._shard_stream_batch(text_b), self._shard_stream_batch(prompt_b),
             k1, max_generate_length, 1
         )  # (N*k, T) — batch already expanded
+        if prof is not None:
+            np.asarray(codes)
+            prof["gpt_decode"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
 
         if k > 1:
             sims = np.asarray(
@@ -501,6 +518,9 @@ class TextToSpeech:
             best = [int(np.argmax(sims[i * k:(i + 1) * k])) + i * k for i in range(n)]
         else:
             best = list(range(n))
+        if prof is not None:
+            prof["clvp_rerank"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
 
         stop = self.cfg.gpt.stop_mel_token
         arr = np.asarray(codes)[best]  # (N, T)
@@ -525,5 +545,8 @@ class TextToSpeech:
             self.cfg.diffusion.cond_free_k,
         )
         wav = np.asarray(wav)
+        if prof is not None:
+            prof["latent_diffusion_vocos"] = _time.perf_counter() - t0
+            self.last_stage_times = prof
         hop = self.cfg.vocos.hop_length
         return [wav[i, : code_lens[i] * 4 * hop] for i in range(n)]

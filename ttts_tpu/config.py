@@ -271,6 +271,12 @@ class TrainConfig:
     # host formant/pitch warp stage (praat or numpy spectral warp) in the
     # codec loader threads (vqvae/train.py:62-116); PEQ stays in-jit
     aug_warp: bool = True
+    # run the warp ON DEVICE inside the jitted train step instead of in
+    # loader threads. Default on: the host phase-vocoder sustains only ~32
+    # audio-s/s per core vs the step's ~296 audio-s/s consumption
+    # (scripts/bench_loader.py) — a 9× input stall the reference hid behind
+    # num_workers=32. Set False for host/praat exact-parity studies.
+    aug_warp_device: bool = True
     # diffusion
     unconditioned_percentage: float = 0.1
     timesteps: int = 1000

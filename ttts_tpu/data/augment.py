@@ -350,3 +350,143 @@ def augment_batch(key, wavs: jax.Array, cfg: AugmentConfig,
             return cand
         out = cand
     return jnp.nan_to_num(out if out is not None else wavs)
+
+
+# --------------------------------------------- formant/pitch warp (device)
+# jit-safe port of spectral_gender_warp: same math as the numpy host path
+# (phase-vocoder pitch stretch + resample, cepstral-envelope formant warp)
+# with STATIC shapes — the pitch stretch renders onto a ceil(max_factor)×
+# frame budget and the final resample reads only the valid prefix, so any
+# factor ≤ cfg.pitch_shift traces to ONE program. Measured motivation
+# (scripts/bench_loader.py): the host warp sustains ~32 audio-s/s on one
+# core vs the GAN step's ~296 audio-s/s consumption; on device the warp is
+# a few extra rffts inside the already-compiled train step.
+
+
+def _stft_j(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    pad = n_fft // 2
+    x = jnp.pad(x, (pad, pad), mode="reflect")
+    win = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n_fft) / n_fft)
+    n_frames = 1 + (x.shape[0] - n_fft) // hop
+    idx = jnp.arange(n_fft)[None] + hop * jnp.arange(n_frames)[:, None]
+    return jnp.fft.rfft(x[idx] * win, axis=-1).T  # (F, T)
+
+
+def _istft_j(S: jax.Array, n_fft: int, hop: int, length: int,
+             frame_valid: Optional[jax.Array] = None) -> jax.Array:
+    """frame_valid (T,) masks frames out of BOTH the signal and the window-
+    squared normalization — junk frames past a stretched signal's end would
+    otherwise bleed into the valid tail through window overlap."""
+    win = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n_fft) / n_fft)
+    frames = jnp.fft.irfft(S.T, n=n_fft, axis=-1) * win
+    t = S.shape[1]
+    valid = jnp.ones((t,)) if frame_valid is None else frame_valid.astype(frames.dtype)
+    frames = frames * valid[:, None]
+    out_len = n_fft + hop * (t - 1)
+    idx = (jnp.arange(n_fft)[None] + hop * jnp.arange(t)[:, None]).reshape(-1)
+    out = jnp.zeros(out_len).at[idx].add(frames.reshape(-1))
+    norm = jnp.zeros(out_len).at[idx].add(
+        (valid[:, None] * (win**2)[None, :]).reshape(-1))
+    out = out / jnp.maximum(norm, 1e-8)
+    pad = n_fft // 2
+    return out[pad : pad + length]
+
+
+def _phase_vocoder_j(S: jax.Array, rate: jax.Array, n_fft: int, hop: int,
+                     t_out: int) -> jax.Array:
+    """PV time-stretch onto a fixed t_out-frame grid; frames past the
+    stretched end carry junk that the caller's resample never reads."""
+    f, t = S.shape
+    steps = jnp.arange(t_out) * rate
+    idx = jnp.clip(steps.astype(jnp.int32), 0, t - 1)
+    idx1 = jnp.clip(idx + 1, 0, t - 1)
+    frac = (steps - idx)[None, :]
+    mag = (1 - frac) * jnp.abs(S[:, idx]) + frac * jnp.abs(S[:, idx1])
+    phi_adv = (2 * jnp.pi * hop * jnp.arange(f) / n_fft)[:, None]
+    dphase = jnp.angle(S[:, idx1]) - jnp.angle(S[:, idx]) - phi_adv
+    dphase -= 2 * jnp.pi * jnp.round(dphase / (2 * jnp.pi))
+    inc = phi_adv + dphase
+    # wrap increments into (-π, π] BEFORE the cumsum: phases only matter
+    # mod 2π, and the unwrapped sum grows to ~1e6 rad over thousands of
+    # frames — past float32 resolution (the host path hides this in f64)
+    inc -= 2 * jnp.pi * jnp.round(inc / (2 * jnp.pi))
+    phase = jnp.angle(S[:, :1]) + jnp.concatenate(
+        [jnp.zeros((f, 1)), jnp.cumsum(inc[:, :-1], axis=1)], axis=1)
+    return mag * jnp.exp(1j * phase)
+
+
+def _pitch_shift_j(x: jax.Array, factor: jax.Array, max_factor: float,
+                   n_fft: int = 1024, hop: int = 256) -> jax.Array:
+    length = x.shape[0]
+    budget = int(np.ceil(max_factor))
+    S = _stft_j(x, n_fft, hop)
+    t_out = budget * S.shape[1]
+    S2 = _phase_vocoder_j(S, 1.0 / factor, n_fft, hop, t_out)
+    # frames past the stretched end are clamped repeats — exclude them
+    valid = jnp.arange(t_out) * (1.0 / factor) <= S.shape[1] - 1
+    y = _istft_j(S2, n_fft, hop, budget * length, frame_valid=valid)
+    y_len = jnp.round(length * factor)
+    pos = jnp.arange(length) * (y_len - 1.0) / max(length - 1, 1)
+    lo = jnp.clip(pos.astype(jnp.int32), 0, budget * length - 2)
+    fr = jnp.clip(pos - lo, 0.0, 1.0)
+    return (1 - fr) * y[lo] + fr * y[lo + 1]
+
+
+def _formant_warp_j(x: jax.Array, factor: jax.Array, n_fft: int = 1024,
+                    hop: int = 256, lifter: int = 32) -> jax.Array:
+    S = _stft_j(x, n_fft, hop)
+    f = S.shape[0]
+    logm = jnp.log(jnp.abs(S) + 1e-8)
+    cep = jnp.fft.irfft(logm, axis=0)
+    keep = (jnp.arange(cep.shape[0]) < lifter) | (
+        jnp.arange(cep.shape[0]) >= cep.shape[0] - lifter)
+    cep = cep * keep[:, None]
+    env = jnp.fft.rfft(cep, n=2 * (f - 1), axis=0).real[:f]
+    src = jnp.arange(f) / factor
+    lo = jnp.clip(src.astype(jnp.int32), 0, f - 2)
+    fr = jnp.clip(src - lo, 0.0, 1.0)[:, None]
+    env_w = (1 - fr) * env[lo] + fr * env[lo + 1]
+    S2 = S * jnp.exp(env_w - env)
+    return _istft_j(S2, n_fft, hop, x.shape[0])
+
+
+def gender_warp_j(wav: jax.Array, formant_shift: jax.Array,
+                  pitch_shift: jax.Array, max_pitch: float) -> jax.Array:
+    """Device 'Change gender' for one (T,) clip: pitch ×pitch_shift,
+    formants ×formant_shift, duration preserved. Stages are computed
+    unconditionally (one trace) but selected out at factor≈1, matching the
+    host path's skip threshold — a phase vocoder applied at rate≈1 still
+    decoheres phase, so 'skip' and 'apply' differ audibly there."""
+    y_p = _pitch_shift_j(wav, pitch_shift, max_pitch)
+    y = jnp.where(jnp.abs(pitch_shift - 1.0) > 1e-3, y_p, wav)
+    g = formant_shift / pitch_shift
+    y_f = _formant_warp_j(y, g)
+    y = jnp.where(jnp.abs(g - 1.0) > 1e-3, y_f, y)
+    peak = jnp.max(jnp.abs(y))
+    return jnp.where(peak > 1.0, y / peak, y)
+
+
+def warp_batch_device(key: jax.Array, wavs: jax.Array,
+                      cfg: AugmentConfig) -> jax.Array:
+    """In-jit NANSY formant/pitch warp for a (B, T) batch.
+
+    Per-clip factor sampling mirrors warp_batch_np's shift(): v ~ U(1, mx),
+    inverted with probability ½. Non-finite outputs fall back to the
+    unwarped clip (the reference's NaN-retry guarded Praat edge cases,
+    vqvae/train.py:100-116; the spectral path is deterministic, so one
+    attempt + fallback covers the same contract)."""
+    b = wavs.shape[0]
+    kf, kp = jax.random.split(key)
+
+    def draw(k, mx):
+        v = jax.random.uniform(k, (b,), minval=1.0, maxval=mx)
+        inv = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.5, (b,))
+        return jnp.where(inv, 1.0 / v, v)
+
+    fs = draw(kf, cfg.formant_shift)
+    ps = draw(kp, cfg.pitch_shift)
+    out = jax.vmap(
+        lambda w, f, p: gender_warp_j(w, f, p, max_pitch=cfg.pitch_shift)
+    )(wavs, fs, ps)
+    finite = jnp.all(jnp.isfinite(out), axis=1, keepdims=True)
+    return jnp.where(finite, out.astype(wavs.dtype), wavs)

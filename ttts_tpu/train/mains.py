@@ -249,9 +249,10 @@ def make_vqvae_loader(cfg: TTTSConfig, ds: VQGANDataset):
         b = ds.collate(items)
         if b is None:  # every clip dropped — trainer skips None batches
             return None
-        if cfg.train.aug_warp:
-            # NANSY formant/pitch warp in loader threads (host, like the
-            # reference's praat stage); the in-jit PEQ applies on top of it
+        if cfg.train.aug_warp and not cfg.train.aug_warp_device:
+            # host-side NANSY formant/pitch warp (praat or numpy spectral
+            # warp) in loader threads — only when the device warp is off;
+            # the in-jit PEQ applies on top of it either way
             b = dict(b)
             b["wav_warped"] = warp_batch_np(
                 warp_rng, np.asarray(b["wav"])[..., 0], aug_cfg
@@ -310,7 +311,9 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
     step = jax.jit(
         functools.partial(vqvae_train_step, generator=gen, discriminator=disc,
                           audio_cfg=a, c_mel=cfg.train.c_mel, c_kl=cfg.train.c_kl,
-                          augment_cfg=aug_cfg)
+                          augment_cfg=aug_cfg,
+                          device_warp=cfg.train.aug_warp
+                          and cfg.train.aug_warp_device)
     )
 
     def paired_step(state, batch, key):

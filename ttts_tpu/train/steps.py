@@ -160,6 +160,7 @@ def vqvae_train_step(
     c_mel: float = 45.0,
     c_kl: float = 1.0,
     augment_cfg=None,
+    device_warp: bool = False,
 ):
     """One alternating D/G step (vqvae/train.py:313-406).
 
@@ -183,10 +184,21 @@ def vqvae_train_step(
 
     batch = dict(batch)
     if "wav_aug" not in batch:
-        # the host loader may supply a formant/pitch-warped wav ('wav_warped',
-        # data/augment.py warp_batch_np — the reference's praat stage); the
-        # parametric EQ then runs in-jit on top of it
-        aug_base = batch.pop("wav_warped", batch["wav"])
+        # formant/pitch warp (the reference's praat stage): either supplied
+        # by the host loader ('wav_warped', data/augment.py warp_batch_np)
+        # or — default — computed HERE on device (warp_batch_device; the
+        # host phase-vocoder can't feed the step, see bench_loader.py). The
+        # parametric EQ then runs in-jit on top of it.
+        aug_base = batch.pop("wav_warped", None)
+        if aug_base is None:
+            if device_warp and augment_cfg is not None:
+                from ttts_tpu.data.augment import warp_batch_device
+
+                k_aug, k_warp = jax.random.split(k_aug)
+                aug_base = warp_batch_device(
+                    k_warp, batch["wav"][..., 0], augment_cfg)[..., None]
+            else:
+                aug_base = batch["wav"]
         if augment_cfg is not None:
             from ttts_tpu.data.augment import apply_peq, sample_params
 
