@@ -335,7 +335,8 @@ class TextToSpeech:
             uncond = jnp.tile(uncond_emb, (latent.shape[0], out_len, 1))
 
             biases = self.diffusion_net.apply(
-                params, out_len, method=self.diffusion_net.rel_biases
+                params, out_len, 2 * latent.shape[0],
+                method=self.diffusion_net.rel_biases
             )
 
             def trunk(x2, t2, emb2):
@@ -395,7 +396,8 @@ class TextToSpeech:
             # rel-pos biases hoisted out of the sampling scan (≈10× step cost
             # if recomputed per step)
             biases = self.diffusion_net.apply(
-                diff_params, out_len, method=self.diffusion_net.rel_biases
+                diff_params, out_len, 2 * latent.shape[0],
+                method=self.diffusion_net.rel_biases
             )
 
             def trunk(x2, t2, emb2):

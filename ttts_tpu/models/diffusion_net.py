@@ -164,22 +164,24 @@ class AttentionBlock(nn.Module):
             dk = c // self.num_heads
             self.relpos = RelativePositionBias(heads=self.num_heads, scale=dk**0.5)
 
-    def rel_bias(self, t: int):
+    def rel_bias(self, t: int, b: int = 1):
         if not self.relative_pos_embeddings:
             return None
-        return self.relpos.strip(t) if self._use_flash(t) else self.relpos.bias(t, t)
+        return (self.relpos.strip(t) if self._use_flash(t, b)
+                else self.relpos.bias(t, t))
 
-    def _use_flash(self, t: int) -> bool:
-        # measured on v5e at the trunk shape (H=16, D=32): XLA's fused
-        # attention beats the kernel below ~1.5k frames (382 vs 421 µs at
-        # T=768) because the hoisted-bias softmax chain is bandwidth-cheap
-        # there; past that the (B,H,T,T) scores blow up (the XLA path OOMs
-        # at T=2560) and the kernel is the only viable route.
+    def _use_flash(self, t: int, b: int = 1) -> bool:
+        # measured on v5e at the trunk shape (H=16, D=32): single-stream,
+        # XLA's fused attention beats the kernel below ~1.5k frames; BATCHED,
+        # the kernel wins much earlier (B=8: 1.6 vs 1.9 ms at T=512, 3.9 ms
+        # → OOM-free ~1.6 at T=1024) because the (B,H,T,T) score traffic
+        # scales with B while the kernel's VMEM-resident scores don't.
         # upper bound: the kernel keeps one batch row's K/V panels resident
         # in VMEM (attention.py docstring: T·H·dk = T·channels ≲ 2M elems);
         # past that Mosaic fails at compile time, so reject here and fall
         # back to the XLA einsum path (which will OOM gracefully instead).
-        return (self.flash and t % 128 == 0 and t >= 1536
+        return (self.flash and t % 128 == 0
+                and (t >= 1536 or b * t >= 4096)
                 and t * self.channels <= 2_000_000
                 and jax.default_backend() not in ("cpu",))
 
@@ -191,7 +193,12 @@ class AttentionBlock(nn.Module):
         # legacy layout: per head, [q;k;v] channels (utils.py:155)
         qkv = qkv.reshape(b, t, h, 3 * dk)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self._use_flash(t):
+        # a precomputed bias pins the path: (H, 2T−1) strip → flash kernel,
+        # (H, T, T) full → XLA einsum (no gate-consistency trap between
+        # rel_bias() precompute time and call time)
+        use_flash = (self._use_flash(t, b) if rel_bias is None
+                     else rel_bias.ndim == 2)
+        if use_flash:
             from ttts_tpu.ops.pallas.attention import flash_attention
 
             strip = rel_bias
@@ -366,14 +373,18 @@ class AA_diffusion(nn.Module):
             latent_emb = jnp.where(drop, self.unconditioned_embedding, latent_emb)
         return _nearest_interp(latent_emb, expected_seq_len)
 
-    def rel_biases(self, t_len: int):
+    def rel_biases(self, t_len: int, b: int = 1):
         """Per-attention rel-pos bias tensors at sequence length t_len.
         Compute ONCE before a sampling scan and pass to trunk(rel_biases=...)
-        — inside-scan recomputation costs ~10× the attention itself."""
-        biases = [m.attn.rel_bias(t_len) for m in self.conditioning_timestep_integrator]
+        — inside-scan recomputation costs ~10× the attention itself.
+        `b` is the batch the trunk will run at (2× streams under batched
+        CFG): it selects strip-form biases (flash kernel) when the batched
+        shape favors the Pallas path."""
+        biases = [m.attn.rel_bias(t_len, b)
+                  for m in self.conditioning_timestep_integrator]
         for lyr in self.layers:
             if isinstance(lyr, DiffusionLayer):
-                biases.append(lyr.attn.rel_bias(t_len))
+                biases.append(lyr.attn.rel_bias(t_len, b))
         return biases
 
     def trunk(self, x, timesteps, cond_emb, train: bool = False, layerdrop_key=None,

@@ -96,6 +96,37 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
+    # XLA promotes custom-call results/operands into scoped VMEM; past the
+    # ~16 MB scoped limit that promotion fails AT COMPILE TIME (observed at
+    # B=8, T=1024, H=16, D=32: "scoped allocation 36.00M exceeded limit
+    # 16.00M"). Batch rows are independent, so run oversize batches through
+    # a lax.map over row chunks — the loop's dynamic-update-slice keeps one
+    # HBM output buffer and only a small chunk ever lives in scoped VMEM
+    # (a python-loop + concatenate variant still OOM'd: all chunk results
+    # were co-resident for the concat).
+    row_bytes = t * h * d * 4
+    rows_per_call = max(1, (3 * 1024 * 1024) // row_bytes)
+    if b > rows_per_call:
+        rpc = 1 << (rows_per_call.bit_length() - 1)  # pow2 so it divides b
+        if b % rpc == 0:
+            qs = q.reshape(b // rpc, rpc, t, h, d)
+            ks = k.reshape(b // rpc, rpc, t, h, d)
+            vs = v.reshape(b // rpc, rpc, t, h, d)
+            out = jax.lax.map(
+                lambda args: flash_attention(
+                    args[0], args[1], args[2], strip=strip, scale=scale,
+                    causal=causal, blk=blk, interpret=interpret),
+                (qs, ks, vs),
+            )
+            return out.reshape(b, t, h, d)
+        outs = [
+            flash_attention(q[i : i + rpc], k[i : i + rpc], v[i : i + rpc],
+                            strip=strip, scale=scale, causal=causal, blk=blk,
+                            interpret=interpret)
+            for i in range(0, b, rpc)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
     has_bias = strip is not None
     # (B, H, T, D) layout: heads ride the leading dims so per-head reads and
     # writes inside the kernel stay plain last-two-dim slices
