@@ -243,19 +243,22 @@ class GaussianDiffusion:
         """Ancestral sampling as one lax.scan (diffusion.py:654-712)."""
         key, nk = jax.random.split(key)
         x = jax.random.normal(nk, shape)
+        # keys pre-split outside the loop (an in-scan split costs ~145 us on
+        # TPU; see models/gpt.py inference_speech)
+        step_keys = jax.random.split(key, self.num_timesteps)
 
-        def step(carry, t_scalar):
-            x, key = carry
-            key, nk = jax.random.split(key)
+        def step(carry, xs):
+            t_scalar, nk = xs
+            x = carry
             t = jnp.full((shape[0],), t_scalar, jnp.int32)
             out = self.p_mean_variance(model_fn, x, t, clip_denoised, model_kwargs)
             noise = jax.random.normal(nk, shape)
             nonzero = (t_scalar != 0).astype(x.dtype)
             x = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
-            return (x, key), None
+            return x, None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        (x, _), _ = jax.lax.scan(step, (x, key), ts)
+        x, _ = jax.lax.scan(step, x, (ts, step_keys))
         return x
 
     def ddim_sample_loop(self, model_fn, shape, key, eta=0.0, clip_denoised=False,
@@ -263,10 +266,11 @@ class GaussianDiffusion:
         """DDIM sampling as one lax.scan (diffusion.py:819-928)."""
         key, nk = jax.random.split(key)
         x = jax.random.normal(nk, shape)
+        step_keys = jax.random.split(key, self.num_timesteps)
 
-        def step(carry, t_scalar):
-            x, key = carry
-            key, nk = jax.random.split(key)
+        def step(carry, xs):
+            t_scalar, nk = xs
+            x = carry
             t = jnp.full((shape[0],), t_scalar, jnp.int32)
             out = self.p_mean_variance(model_fn, x, t, clip_denoised, model_kwargs)
             eps = (
@@ -286,10 +290,10 @@ class GaussianDiffusion:
             )
             nonzero = (t_scalar != 0).astype(x.dtype)
             x = mean_pred + nonzero * sigma * noise
-            return (x, key), None
+            return x, None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        (x, _), _ = jax.lax.scan(step, (x, key), ts)
+        x, _ = jax.lax.scan(step, x, (ts, step_keys))
         return x
 
 

@@ -42,8 +42,18 @@ def gelu_new(x):
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (layers, B, max_len, heads, head_dim)
-    v: jax.Array
+    """Per-layer KV arrays, each (B, max_len, heads, head_dim).
+
+    Kept as a TUPLE of per-layer arrays rather than one stacked
+    (layers, ...) tensor on purpose: with a stacked cache the decode loop
+    sliced `cache.k[i]` per layer and re-`jnp.stack`ed afterwards, which
+    materialized a fresh full-cache copy every step (~2×cache bytes of HBM
+    traffic per token). Per-layer arrays flow linearly through the
+    scan/while_loop carry, so each layer's dynamic_update_slice is done
+    in place by XLA."""
+
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
 
 
 class GPT2Block(nn.Module):
@@ -170,7 +180,7 @@ class GPT2Stack(nn.Module):
                 new_v.append(nc[1])
         if self.use_ln_f:
             x = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
-        new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v)) if new_k else None
+        new_cache = KVCache(tuple(new_k), tuple(new_v)) if new_k else None
         return x, new_cache
 
 
@@ -327,8 +337,10 @@ class UnifiedVoice(nn.Module):
         h_heads = c.heads
         dk = d // h_heads
         cache = KVCache(
-            k=jnp.zeros((c.layers, b, max_len, h_heads, dk), self.dtype),
-            v=jnp.zeros((c.layers, b, max_len, h_heads, dk), self.dtype),
+            k=tuple(jnp.zeros((b, max_len, h_heads, dk), self.dtype)
+                    for _ in range(c.layers)),
+            v=tuple(jnp.zeros((b, max_len, h_heads, dk), self.dtype)
+                    for _ in range(c.layers)),
         )
         # prefix attends causally within itself; cache beyond prefix is masked
         mask = jnp.tril(jnp.ones((p, p), bool))
@@ -412,8 +424,13 @@ def inference_speech(
         lambda pc: jnp.zeros((c.number_mel_codes,), jnp.int32).at[pc].add(1)
     )(prompt_codes)
 
-    def step_core(i, cache, logits, counts, done, key):
-        key, sk = jax.random.split(key)
+    # ONE vectorized split outside the loop: a jax.random.split inside the
+    # decode loop costs ~145 us/step on TPU — more than the whole 6-layer
+    # transformer step (~96 us). Pre-splitting moves the threefry work into
+    # a single batched kernel before the loop.
+    step_keys = jax.random.split(key, max_generate_length)
+
+    def step_core(i, sk, cache, logits, counts, done):
         tok = sample_logits(sk, logits, counts, sampling)
         tok = jnp.where(done, c.stop_mel_token, tok)
         done = done | (tok == c.stop_mel_token)
@@ -422,38 +439,40 @@ def inference_speech(
             params, tok, cache, prefix_len + i, mel_off + i, max_len,
             method=model.decode_one,
         )
-        return tok, new_cache, logits, counts, done, key
+        return tok, new_cache, logits, counts, done
 
     done0 = jnp.zeros((b,), bool)
     if early_stop:
         tokens0 = jnp.full((b, max_generate_length), c.stop_mel_token, jnp.int32)
 
         def cond(carry):
-            i, _, _, _, done, _, _ = carry
+            i, _, _, _, done, _ = carry
             return (i < max_generate_length) & ~jnp.all(done)
 
         def body(carry):
-            i, cache, logits, counts, done, key, tokens = carry
-            tok, cache, logits, counts, done, key = step_core(
-                i, cache, logits, counts, done, key
+            i, cache, logits, counts, done, tokens = carry
+            tok, cache, logits, counts, done = step_core(
+                i, step_keys[i], cache, logits, counts, done
             )
             tokens = jax.lax.dynamic_update_slice_in_dim(
                 tokens, tok[:, None].astype(jnp.int32), i, axis=1
             )
-            return (i + 1, cache, logits, counts, done, key, tokens)
+            return (i + 1, cache, logits, counts, done, tokens)
 
-        carry = (jnp.int32(0), cache, logits, counts, done0, key, tokens0)
-        _, _, _, _, _, _, tokens = jax.lax.while_loop(cond, body, carry)
+        carry = (jnp.int32(0), cache, logits, counts, done0, tokens0)
+        _, _, _, _, _, tokens = jax.lax.while_loop(cond, body, carry)
         return tokens
 
-    def step(carry, i):
-        cache, logits, counts, done, key = carry
-        tok, cache, logits, counts, done, key = step_core(
-            i, cache, logits, counts, done, key
+    def step(carry, xs):
+        i, sk = xs
+        cache, logits, counts, done = carry
+        tok, cache, logits, counts, done = step_core(
+            i, sk, cache, logits, counts, done
         )
-        return (cache, logits, counts, done, key), tok
+        return (cache, logits, counts, done), tok
 
-    (_, _, _, done, _), tokens = jax.lax.scan(
-        step, (cache, logits, counts, done0, key), jnp.arange(max_generate_length)
+    (_, _, _, done), tokens = jax.lax.scan(
+        step, (cache, logits, counts, done0),
+        (jnp.arange(max_generate_length), step_keys),
     )
     return jnp.swapaxes(tokens, 0, 1)  # (B, T)

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ttts_tpu.ops.stft import frame
+from ttts_tpu.ops.stft import frame, overlap_add
 
 
 def _cosine_window(n: int) -> np.ndarray:
@@ -51,9 +51,8 @@ def imdct(X: jax.Array, frame_len: int, padding: str = "same") -> jax.Array:
     y = jnp.real(y * post) * math.sqrt(n) * math.sqrt(2)
     window = jnp.asarray(_cosine_window(frame_len))
     y = y * window
-    # 50% overlap-add
+    # 50% overlap-add (dense shifted adds — see ops/stft.py overlap_add)
     out_len = (l + 1) * n
-    idx = (np.arange(l)[:, None] * n + np.arange(frame_len)[None, :]).reshape(-1)
-    audio = jnp.zeros((b, out_len)).at[:, idx].add(y.reshape(b, -1))
+    audio = overlap_add(y, n)
     pad = frame_len // 2 if padding == "center" else frame_len // 4
     return audio[:, pad : out_len - pad]
