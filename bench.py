@@ -68,6 +68,18 @@ def bench_all():
           + ", ".join(f"{k}={v / 1e6:.1f}" for k, v in n_params.items()),
           file=sys.stderr)
 
+    # ---- config 0: per-dispatch floor of the axon tunnel -------------------
+    # Every host-synced call below pays one device round-trip; through the
+    # remote-chip tunnel that floor is tens of ms (a local TPU host would be
+    # ~0.1 ms). Recording it lets a reader subtract the harness artifact:
+    # e.g. an N-dispatch pipeline carries N x floor of non-model latency.
+    _triv = jax.jit(lambda x: x + 1.0)
+    floor_dt = _timeit(lambda: np.asarray(_triv(jnp.float32(0))), iters=7)
+    rows.append({"config": "0_dispatch_floor_ms",
+                 "wall_ms": round(floor_dt * 1e3, 2),
+                 "note": "trivial jit scalar round-trip; pure tunnel/dispatch "
+                         "latency every host-synced row below also contains"})
+
     voice, sr = load_wav(ASSET, target_sr=32000)
     voice = voice[: 4 * 32000]  # 4 s prompt
 
@@ -116,6 +128,24 @@ def bench_all():
     gpt_mfu = 2 * n_params["gpt"] * toks / V5E_PEAK_FLOPS
     rows.append({"config": "3_gpt_ar_decode", "tokens_per_sec": round(toks, 1),
                  "batch": b3, "gen_len": gen_len, "mfu_est": round(gpt_mfu, 5)})
+
+    # amortized device cost per token: slope between two generation lengths
+    # removes the per-call constants every wall-clock row carries (the ~30 ms
+    # tunnel round-trip of config 0 plus the one-off prefill), which at
+    # 200-step calls are ~half the measured time
+    dt3l = _timeit(lambda: np.asarray(tts._gpt_sample_fn(
+        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1),
+        2 * gen_len, b3, early_stop=False)))
+    if dt3l > dt3:
+        toks_amort = b3 * gen_len / (dt3l - dt3)
+        rows.append({
+            "config": "3c_gpt_ar_decode_amortized",
+            "tokens_per_sec_device": round(toks_amort, 1),
+            "us_per_step_device": round(1e6 * (dt3l - dt3) / gen_len, 1),
+            "batch": b3,
+            "mfu_est": round(2 * n_params["gpt"] * toks_amort / V5E_PEAK_FLOPS, 5),
+            "note": "slope between gen_len 200 and 400 calls — per-token device "
+                    "cost net of tunnel round-trip + prefill constants"})
 
     # 3b: the serving default — lax.while_loop early exit once every stream
     # has emitted stop_mel_token (api.py always decodes this way); tokens/s
@@ -227,6 +257,70 @@ def bench_all():
                  "audio_s": round(audio7, 3),
                  "audio_sec_per_sec": round(audio7 / dt7, 1),
                  "note": "4 texts × 4 AR candidates in one GPT batch; one diffusion/vocoder batch; cached conditioning"})
+
+    # 5d: the same 4 streams through the ultra_fast preset (1 AR candidate,
+    # 30 diffusion steps — a real serving preset, api.py PRESETS): the
+    # throughput-oriented batched number (VERDICT r2 next #5 target)
+    def batched_tuned(seed):
+        return tts.tts_batch(texts, voice, 32000, preset="ultra_fast",
+                             max_generate_length=256, seed=seed,
+                             voice_cache_key="v")
+
+    wavs5d = batched_tuned(0)
+    audio5d = sum(len(w) for w in wavs5d) / 24000.0
+    dt5d = _timeit(lambda: batched_tuned(0), iters=3)
+    rows.append({"config": "5d_batched_streams_tuned", "streams": len(texts),
+                 "rtf": round(dt5d / audio5d, 5), "wall_s": round(dt5d, 4),
+                 "audio_s": round(audio5d, 3),
+                 "audio_sec_per_sec": round(audio5d / dt5d, 1),
+                 "note": "4 texts, ultra_fast preset (1 AR candidate, 30 "
+                         "diffusion steps); one GPT batch, one tail batch"})
+
+    # 5e: sustained pipelined serving — 3 batches of 4 streams through
+    # tts_batch_many (batch i+1's GPT decode dispatched while batch i's tail
+    # is in flight; audio fetches deferred). Measures steady-state
+    # audio-s/s with the host/tunnel gaps hidden.
+    def sustained():
+        return tts.tts_batch_many([texts, texts, texts], voice, 32000,
+                                  preset="fast", max_generate_length=256,
+                                  seed=0, voice_cache_key="v")
+
+    outs5e = sustained()
+    audio5e = sum(len(w) for batch in outs5e for w in batch) / 24000.0
+    dt5e = _timeit(sustained, iters=3)
+    rows.append({"config": "5e_sustained_pipelined", "batches": 3,
+                 "streams_per_batch": len(texts),
+                 "audio_s": round(audio5e, 3), "wall_s": round(dt5e, 4),
+                 "audio_sec_per_sec": round(audio5e / dt5e, 1),
+                 "note": "tts_batch_many: software-pipelined request batches "
+                         "at reference defaults (4 AR candidates, 50 steps)"})
+
+    # stage breakdown of the batched path (host-synced, so times are per
+    # stage but the total is slightly above the honest 5c row)
+    tts.profile_stages = True
+    batched(1)
+    tts.profile_stages = False
+    rows.append({"config": "5c_stage_breakdown",
+                 "stage_wall_s": {k: round(v, 4)
+                                  for k, v in tts.last_stage_times.items()},
+                 "note": "host-synced per-stage times of one 5c call"})
+
+    # ---- config 6: host loader throughput (no chip; VERDICT r2 #7) ---------
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, str(pathlib.Path(__file__).parent / "scripts" /
+                                 "bench_loader.py"), "--clips", "48",
+             "--batches", "8"],
+            capture_output=True, text=True, timeout=420)
+        lrow = json.loads(out.stdout.strip().splitlines()[-1])
+        rows.append({"config": "6_host_loader",
+                     "audio_sec_per_sec": lrow["value"], "unit": lrow["unit"],
+                     "step_consumption_audio_sec_per_sec":
+                         lrow["step_consumption_audio_sec_per_sec"],
+                     "headroom_x": lrow["headroom_x"]})
+    except Exception as e:  # host-loader row is informative, never fatal
+        rows.append({"config": "6_host_loader", "error": str(e)[:200]})
 
     detail = _write_detail(rows, n_params, t_start)
     print(json.dumps(detail, indent=1), file=sys.stderr)

@@ -49,3 +49,27 @@ def test_tts_batch_mesh_matches_single_device():
     for a, b in zip(out, ref):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_tts_batch_many_matches_serial():
+    """Pipelined sustained serving (tts_batch_many) must be bit-identical to
+    per-batch tts_batch calls with the same per-batch seeds — only the
+    dispatch order differs, never the programs or the PRNG keys."""
+    tts = TextToSpeech(TINY, seed=0)
+    rng = np.random.default_rng(0)
+    voice = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    batches = [["ni3 hao3", "shi4 jie4 hao3"],
+               ["jin1 tian1", "tian1 qi4 hao3"]]
+
+    piped = tts.tts_batch_many(batches, voice, 32000, preset="ultra_fast",
+                               max_generate_length=32, seed=7,
+                               voice_cache_key="v0")
+    for i, texts in enumerate(batches):
+        ref = tts.tts_batch(texts, voice, 32000, preset="ultra_fast",
+                            max_generate_length=32, seed=7 + i,
+                            voice_cache_key="v0")
+        assert len(piped[i]) == len(ref)
+        for a, b in zip(piped[i], ref):
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(a, b)

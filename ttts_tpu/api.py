@@ -468,61 +468,55 @@ class TextToSpeech:
         exact = code_len * 4 * self.cfg.vocos.hop_length
         return np.asarray(wav[0])[:exact]
 
-    def tts_batch(self, texts, voice_wav: np.ndarray, voice_sample_rate: int,
-                  preset: str = "fast", max_generate_length: int = 400,
-                  seed: int = 0, voice_cache_key: Optional[str] = None):
-        """Batched streams: synthesize several texts against one voice in one
-        GPT batch and one diffusion/vocoder batch (BASELINE config 5,
-        'batched streams'). Returns a list of 24 kHz waveforms."""
-        import time as _time
+    # ---- batched-stream stage helpers (shared by tts_batch and the
+    # pipelined tts_batch_many; split so the sustained path can dispatch the
+    # next batch's GPT decode while this batch's tail is still in flight) ----
 
-        opts = PRESETS[preset]
-        k = opts["num_autoregressive_samples"]
+    def _batch_front(self, texts, prompt_codes, key, k, max_generate_length):
+        """Tokenize + dispatch the GPT decode for one batch of texts.
+
+        Returns (text_ids (N, lt) device, codes (N*k, T) device, text_b).
+        Does NOT host-sync: `codes` is an in-flight device array."""
         n = len(texts)
-        key = jax.random.key(seed)
-        k1, k2 = jax.random.split(key)
-        prof = {} if self.profile_stages else None
-        t0 = _time.perf_counter()
-
         all_ids = [np.asarray(self.tok.encode(text_to_pinyin(t)), np.int32)
                    for t in texts]
         lt = _round_up(max(len(i) for i in all_ids), 16)
         text_ids = jnp.asarray(
             np.stack([np.pad(i, (0, lt - len(i))) for i in all_ids])
         )  # (N, lt)
-
-        prompt_codes, refer_mel = self.get_conditioning(
-            voice_wav, voice_sample_rate, voice_cache_key
-        )
-        if prof is not None:
-            np.asarray(prompt_codes)
-            prof["conditioning"] = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
         lp = _round_up(prompt_codes.shape[1], 16)
         prompt_b = jnp.tile(
-            jnp.pad(prompt_codes, ((0, 0), (0, lp - prompt_codes.shape[1]))), (n * k, 1)
+            jnp.pad(prompt_codes, ((0, 0), (0, lp - prompt_codes.shape[1]))),
+            (n * k, 1),
         )
         text_b = jnp.repeat(text_ids, k, axis=0)  # (N*k, lt)
         codes = self._gpt_sample_fn(
             self._serve_params("gpt"),
             self._shard_stream_batch(text_b), self._shard_stream_batch(prompt_b),
-            k1, max_generate_length, 1
+            key, max_generate_length, 1
         )  # (N*k, T) — batch already expanded
-        if prof is not None:
-            np.asarray(codes)
-            prof["gpt_decode"] = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
+        return text_ids, codes, text_b
 
+    def _batch_tail(self, text_ids, codes, text_b, refer_mel, key, opts, k,
+                    prof=None):
+        """CLVP rerank + bucket + dispatch the diffusion/vocoder tail.
+
+        Host-syncs on `codes` (needed for stop-token lengths), then returns
+        (wav device array, code_lens) WITHOUT fetching the audio."""
+        import time as _time
+
+        n = text_ids.shape[0]
+        t0 = _time.perf_counter()
         if k > 1:
             sims = np.asarray(
                 self._clvp_rank_fn(self.params["clvp"], text_b, codes)
             )
-            best = [int(np.argmax(sims[i * k:(i + 1) * k])) + i * k for i in range(n)]
+            best = [int(np.argmax(sims[i * k:(i + 1) * k])) + i * k
+                    for i in range(n)]
         else:
             best = list(range(n))
         if prof is not None:
             prof["clvp_rerank"] = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
 
         stop = self.cfg.gpt.stop_mel_token
         arr = np.asarray(codes)[best]  # (N, T)
@@ -542,13 +536,94 @@ class TextToSpeech:
             self._shard_stream_batch(text_ids),
             self._shard_stream_batch(jnp.asarray(clean)),
             self._shard_stream_batch(jnp.asarray(code_lens)),
-            self._shard_stream_batch(refer_b), k2,
+            self._shard_stream_batch(refer_b), key,
             opts["diffusion_iterations"], int(bucket * 4),
             self.cfg.diffusion.cond_free_k,
         )
+        return wav, code_lens
+
+    def tts_batch(self, texts, voice_wav: np.ndarray, voice_sample_rate: int,
+                  preset: str = "fast", max_generate_length: int = 400,
+                  seed: int = 0, voice_cache_key: Optional[str] = None):
+        """Batched streams: synthesize several texts against one voice in one
+        GPT batch and one diffusion/vocoder batch (BASELINE config 5,
+        'batched streams'). Returns a list of 24 kHz waveforms."""
+        import time as _time
+
+        opts = PRESETS[preset]
+        k = opts["num_autoregressive_samples"]
+        n = len(texts)
+        key = jax.random.key(seed)
+        k1, k2 = jax.random.split(key)
+        prof = {} if self.profile_stages else None
+        t0 = _time.perf_counter()
+
+        prompt_codes, refer_mel = self.get_conditioning(
+            voice_wav, voice_sample_rate, voice_cache_key
+        )
+        if prof is not None:
+            np.asarray(prompt_codes)
+            prof["conditioning"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+        text_ids, codes, text_b = self._batch_front(
+            texts, prompt_codes, k1, k, max_generate_length
+        )
+        if prof is not None:
+            np.asarray(codes)
+            prof["gpt_decode"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        wav, code_lens = self._batch_tail(
+            text_ids, codes, text_b, refer_mel, k2, opts, k, prof=prof
+        )
         wav = np.asarray(wav)
         if prof is not None:
-            prof["latent_diffusion_vocos"] = _time.perf_counter() - t0
+            prof["latent_diffusion_vocos"] = (
+                _time.perf_counter() - t0 - prof.get("clvp_rerank", 0.0))
             self.last_stage_times = prof
         hop = self.cfg.vocos.hop_length
         return [wav[i, : code_lens[i] * 4 * hop] for i in range(n)]
+
+    def tts_batch_many(self, batches, voice_wav: np.ndarray,
+                       voice_sample_rate: int, preset: str = "fast",
+                       max_generate_length: int = 400, seed: int = 0,
+                       voice_cache_key: Optional[str] = None):
+        """Sustained pipelined serving over a stream of request batches.
+
+        A serial loop of `tts_batch` calls leaves the device idle during
+        every host sync (stop-token scan, CLVP argmax, bucket build) and
+        every tunnel round-trip — ~0.1-0.2 s per batch through the remote
+        chip. This driver software-pipelines the two device stages: batch
+        i+1's GPT decode is dispatched BEFORE batch i's codes are fetched,
+        so the device queue never drains; audio fetches are deferred to the
+        end. Device-order per batch: front_i, front_{i+1}, clvp_i, tail_i.
+        Results are identical to per-batch `tts_batch` calls with the same
+        per-batch seeds (same programs, same keys — only dispatch order
+        changes). Returns a list of per-batch waveform lists."""
+        opts = PRESETS[preset]
+        k = opts["num_autoregressive_samples"]
+        prompt_codes, refer_mel = self.get_conditioning(
+            voice_wav, voice_sample_rate, voice_cache_key
+        )
+        keys = [jax.random.split(jax.random.key(seed + i))
+                for i in range(len(batches))]
+
+        fronts = []  # in-flight (text_ids, codes, text_b)
+        tails = []   # in-flight (wav, code_lens)
+        fronts.append(self._batch_front(
+            batches[0], prompt_codes, keys[0][0], k, max_generate_length))
+        for i, texts in enumerate(batches):
+            if i + 1 < len(batches):
+                fronts.append(self._batch_front(
+                    batches[i + 1], prompt_codes, keys[i + 1][0], k,
+                    max_generate_length))
+            text_ids, codes, text_b = fronts[i]
+            tails.append(self._batch_tail(
+                text_ids, codes, text_b, refer_mel, keys[i][1], opts, k))
+
+        hop = self.cfg.vocos.hop_length
+        out = []
+        for wav, code_lens in tails:
+            wav = np.asarray(wav)
+            out.append([wav[j, : code_lens[j] * 4 * hop]
+                        for j in range(len(code_lens))])
+        return out
