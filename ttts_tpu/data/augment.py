@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ttts_tpu.ops.stft import hann_window, istft, stft
+from ttts_tpu.ops.stft import hann_window, istft, overlap_add, stft
 
 try:  # optional host dependency
     import parselmouth  # type: ignore
@@ -382,11 +382,14 @@ def _istft_j(S: jax.Array, n_fft: int, hop: int, length: int,
     t = S.shape[1]
     valid = jnp.ones((t,)) if frame_valid is None else frame_valid.astype(frames.dtype)
     frames = frames * valid[:, None]
-    out_len = n_fft + hop * (t - 1)
-    idx = (jnp.arange(n_fft)[None] + hop * jnp.arange(t)[:, None]).reshape(-1)
-    out = jnp.zeros(out_len).at[idx].add(frames.reshape(-1))
-    norm = jnp.zeros(out_len).at[idx].add(
-        (valid[:, None] * (win**2)[None, :]).reshape(-1))
+    # dense shifted-adds overlap-add (ops/stft.py overlap_add): the previous
+    # t·n_fft-index scatter-add serializes on the TPU scatter unit and made
+    # this ISTFT — called twice per clip by the NANSY warp, vmapped over the
+    # GAN batch — half the whole train step (scripts/bench_gan_dsp.py).
+    # The norm envelope depends on the dynamic frame_valid mask, so it is
+    # overlap-added the same way rather than precomputed on host.
+    out = overlap_add(frames[None], hop)[0]
+    norm = overlap_add((valid[:, None] * (win**2)[None, :])[None], hop)[0]
     out = out / jnp.maximum(norm, 1e-8)
     pad = n_fft // 2
     return out[pad : pad + length]
