@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--secs", type=float, default=8.0)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--component", choices=["all", "specmel", "warp"],
+                    default="all",
+                    help="which slice of the in-jit DSP the dsp_only program "
+                         "times: everything, spectrograms+mels only (the "
+                         "fused-log-mel-kernel candidate), or the NANSY "
+                         "warp+PEQ only")
     args = ap.parse_args()
 
     import jax
@@ -102,21 +108,29 @@ def main():
     # ---- DSP-only program: exactly the step's in-jit DSP -------------------
     def dsp_only(bt, key):
         k_aug, k_warp = jax.random.split(key)
-        warped = warp_batch_device(k_warp, bt["wav"][..., 0], aug_cfg)
-        p = sample_params(k_aug, bt["wav"].shape[0], aug_cfg)
-        wav_aug = apply_peq(warped, p["quality_power"], p["gain"], aug_cfg)
-        spec = vits_spectrogram(bt["wav"][..., 0], a.filter_length,
-                                a.hop_length, a.win_length)
-        spec_aug = vits_spectrogram(wav_aug, a.filter_length, a.hop_length,
-                                    a.win_length)
-        seg = cfg.train.segment_size
-        mel = vits_mel_spectrogram(
-            bt["wav"][:, :seg, 0], a.filter_length, a.n_mel_channels,
-            a.sampling_rate, a.hop_length, a.win_length, a.mel_fmin, a.mel_fmax)
-        mel2 = vits_mel_spectrogram(
-            wav_aug[:, :seg], a.filter_length, a.n_mel_channels,
-            a.sampling_rate, a.hop_length, a.win_length, a.mel_fmin, a.mel_fmax)
-        return spec.sum() + spec_aug.sum() + mel.sum() + mel2.sum()
+        acc = jnp.float32(0)
+        wav_aug = bt["wav"][..., 0]
+        if args.component in ("all", "warp"):
+            warped = warp_batch_device(k_warp, bt["wav"][..., 0], aug_cfg)
+            p = sample_params(k_aug, bt["wav"].shape[0], aug_cfg)
+            wav_aug = apply_peq(warped, p["quality_power"], p["gain"], aug_cfg)
+            acc = acc + wav_aug.sum()
+        if args.component in ("all", "specmel"):
+            spec = vits_spectrogram(bt["wav"][..., 0], a.filter_length,
+                                    a.hop_length, a.win_length)
+            spec_aug = vits_spectrogram(wav_aug, a.filter_length, a.hop_length,
+                                        a.win_length)
+            seg = cfg.train.segment_size
+            mel = vits_mel_spectrogram(
+                bt["wav"][:, :seg, 0], a.filter_length, a.n_mel_channels,
+                a.sampling_rate, a.hop_length, a.win_length, a.mel_fmin,
+                a.mel_fmax)
+            mel2 = vits_mel_spectrogram(
+                wav_aug[:, :seg], a.filter_length, a.n_mel_channels,
+                a.sampling_rate, a.hop_length, a.win_length, a.mel_fmin,
+                a.mel_fmax)
+            acc = acc + spec.sum() + spec_aug.sum() + mel.sum() + mel2.sum()
+        return acc
 
     dsp_j = jax.jit(dsp_only)
     dt_dsp = _timeit(lambda: np.asarray(dsp_j(batch, jax.random.key(1))),
@@ -129,6 +143,7 @@ def main():
         "dsp_only_ms": round(dt_dsp * 1e3, 1),
         "dsp_share": round(dt_dsp / dt_step, 4),
         "train_audio_sec_per_sec": round(b * args.secs / dt_step, 1),
+        "component": args.component,
         "note": "dsp = device warp + PEQ + 2x linear spec + 2x mel (fwd only)",
     }
     print(json.dumps(res))

@@ -8,7 +8,11 @@ serving-weight cast. This script trips all of them inside real grad traces —
 it is how the pallas_call-has-no-JVP crash (quantize.py:146) was found.
 
 usage:  timeout 1500 python scripts/tpu_smoke.py      # ~8-10 min of compiles
-Prints one PASS/FAIL line per surface; exits nonzero on any failure.
+        python scripts/tpu_smoke.py --only serving    # substring stage filter
+        python scripts/tpu_smoke.py --recipe          # adds the 5-stage CLI recipe
+Prints one PASS/FAIL line per surface (SKIP for filtered-out stages); exits
+nonzero on any failure. Under tunnel load a full run can exceed 25 min —
+use --only to re-verify just the touched surface.
 """
 
 import pathlib
@@ -36,7 +40,14 @@ def main():
     rng = np.random.default_rng(0)
     failures = []
 
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+
     def check(name, fn):
+        if only is not None and only not in name:
+            print(f"SKIP {name}", flush=True)
+            return
         try:
             fn()
             print(f"PASS {name}", flush=True)

@@ -243,3 +243,55 @@ class TestMelFilterbankGolden:
         fb = np.asarray(mel_filterbank(16000, 4096, 40))
         sums = fb.sum(axis=1) * (8000.0 / (4096 // 2))
         assert np.all(sums > 0.9) and np.all(sums < 1.1)
+
+
+class TestOverlapAdd:
+    """ops/stft.py overlap_add: the dense shifted-adds fast path (W a
+    multiple of hop — every in-tree user) must match the general scatter
+    formulation exactly."""
+
+    def _scatter_ref(self, frames, hop):
+        b, t, w = frames.shape
+        out = np.zeros((b, (t - 1) * hop + w), frames.dtype)
+        for i in range(t):
+            out[:, i * hop : i * hop + w] += frames[:, i]
+        return out
+
+    def test_dense_matches_scatter(self):
+        from ttts_tpu.ops.stft import overlap_add
+
+        rng = np.random.default_rng(0)
+        for b, t, w, hop in [(2, 7, 8, 4), (1, 5, 16, 4), (3, 9, 12, 3)]:
+            frames = rng.standard_normal((b, t, w)).astype(np.float32)
+            got = np.asarray(overlap_add(jnp.asarray(frames), hop))
+            np.testing.assert_allclose(got, self._scatter_ref(frames, hop),
+                                       rtol=0, atol=1e-5)
+
+    def test_non_multiple_fallback(self):
+        from ttts_tpu.ops.stft import overlap_add
+
+        rng = np.random.default_rng(1)
+        frames = rng.standard_normal((2, 6, 10)).astype(np.float32)  # 10 % 4 != 0
+        got = np.asarray(overlap_add(jnp.asarray(frames), 4))
+        np.testing.assert_allclose(got, self._scatter_ref(frames, 4),
+                                   rtol=0, atol=1e-5)
+
+
+class TestStftConvImpl:
+    """The MXU windowed-DFT conv STFT must match the gather+rfft path to
+    float32 roundoff — it is the default on accelerators, while CPU (and so
+    every golden test here) runs the fft path."""
+
+    @pytest.mark.parametrize("n_fft,hop,win", [(512, 128, 512),
+                                               (1024, 256, 1024),
+                                               (2048, 640, 2048),
+                                               (1024, 256, 768)])
+    def test_conv_matches_fft(self, n_fft, hop, win):
+        from ttts_tpu.ops.stft import stft
+
+        rng = np.random.default_rng(3)
+        y = jnp.asarray(rng.standard_normal((2, 4 * n_fft)).astype(np.float32))
+        a = np.asarray(stft(y, n_fft, hop, win, center=True, impl="conv"))
+        b = np.asarray(stft(y, n_fft, hop, win, center=True, impl="fft"))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * scale)

@@ -364,12 +364,9 @@ def augment_batch(key, wavs: jax.Array, cfg: AugmentConfig,
 
 
 def _stft_j(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
-    pad = n_fft // 2
-    x = jnp.pad(x, (pad, pad), mode="reflect")
-    win = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n_fft) / n_fft)
-    n_frames = 1 + (x.shape[0] - n_fft) // hop
-    idx = jnp.arange(n_fft)[None] + hop * jnp.arange(n_frames)[:, None]
-    return jnp.fft.rfft(x[idx] * win, axis=-1).T  # (F, T)
+    # periodic-hann center STFT; ops/stft.py routes it through the windowed-
+    # DFT strided conv on accelerators (MXU) and gather+rfft on CPU
+    return stft(x[None], n_fft, hop, center=True)[0]  # (F, T)
 
 
 def _istft_j(S: jax.Array, n_fft: int, hop: int, length: int,

@@ -48,6 +48,46 @@ def _reflect_pad_last(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
 
 
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_filters(n_fft: int, win_length: int) -> np.ndarray:
+    """(2·(n_fft//2+1), 1, n_fft) conv filters computing a windowed rDFT:
+    rows [0, F) are window·cos(2πkn/N), rows [F, 2F) are −window·sin —
+    so conv output channels stack [real; imag] of torch-convention rfft."""
+    m = np.arange(win_length)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * m / win_length)  # periodic hann, f64
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        win = np.pad(win, (lpad, n_fft - win_length - lpad))
+    n = np.arange(n_fft)
+    k = np.arange(n_fft // 2 + 1)
+    ang = 2.0 * np.pi * k[:, None] * n[None, :] / n_fft
+    basis = np.concatenate([np.cos(ang) * win, -np.sin(ang) * win], axis=0)
+    return basis.astype(np.float32)[:, None, :]
+
+
+def _stft_conv(y: jax.Array, n_fft: int, hop_length: int,
+               win_length: int) -> jax.Array:
+    """STFT as ONE strided MXU convolution against a windowed-DFT basis.
+
+    The fft-impl path (gather-framing + jnp.fft.rfft) does not map well onto
+    the TPU: the (n_frames, n_fft) gather serializes and XLA's TPU FFT is
+    slow for these sizes — measured 42.6 ms for the GAN step's four
+    spectrograms (`scripts/bench_gan_dsp.py --component specmel`) where the
+    DFT matmul is ~1e11 flops ≈ 1 ms of MXU. f32-pinned: these feed ≤1e-3
+    parity contracts (CLAUDE.md)."""
+    filt = jnp.asarray(_windowed_dft_filters(n_fft, win_length))
+    batch_shape = y.shape[:-1]
+    x = y.reshape((-1, 1, y.shape[-1])).astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        x, filt, window_strides=(hop_length,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, 2F, n_frames)
+    f = n_fft // 2 + 1
+    spec = jax.lax.complex(out[:, :f], out[:, f:])
+    return spec.reshape(batch_shape + spec.shape[1:])
+
+
 def stft(
     y: jax.Array,
     n_fft: int,
@@ -56,12 +96,26 @@ def stft(
     window: jax.Array | None = None,
     center: bool = False,
     pad_mode: str = "reflect",
+    impl: str = "auto",
 ) -> jax.Array:
     """Complex STFT of ``y`` (..., T) → (..., n_fft//2+1, n_frames).
 
     Matches torch.stft(onesided=True, normalized=False, return_complex=True).
+    impl: "auto"(="fft") = gather-framing + jnp.fft.rfft; "conv" = windowed-
+    DFT strided convolution (kept as an option with pinned parity,
+    test_dsp). MEASURED on v5e (16×8 s batch, amortized): fft wins —
+    10.1 vs 33.5 ms at n_fft 2048/hop 640, 13.1 vs 23.4 ms at 1024/256;
+    the f32-pinned strided large-kernel conv lowers to a poor implicit
+    GEMM, so the MXU formulation loses to XLA's FFT here.
     """
     win_length = win_length or n_fft
+    if impl == "auto":
+        impl = "fft"
+    if impl == "conv" and window is None:
+        if center:
+            assert pad_mode == "reflect"
+            y = _reflect_pad_last(y, n_fft // 2)
+        return _stft_conv(y, n_fft, hop_length, win_length)
     if window is None:
         window = hann_window(win_length, dtype=y.dtype)
     if win_length < n_fft:
