@@ -121,42 +121,50 @@ def bench_all():
     text3 = jnp.asarray(rng.integers(1, 255, size=(b3, 64)))
     prompt3 = jnp.asarray(rng.integers(0, 1024, size=(b3, 48)))
 
+    # serve params (bf16 matmul weights) — what api.py actually decodes with;
+    # raw-f32 measurement under-reported serving throughput (~56% of the
+    # model step is weight reads)
+    gp3 = tts._serve_params("gpt")
     dt3 = _timeit(lambda: np.asarray(tts._gpt_sample_fn(
-        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1), gen_len,
+        gp3, text3[:1], prompt3[:1], jax.random.key(1), gen_len,
         b3, early_stop=False)))
     toks = b3 * gen_len / dt3
     gpt_mfu = 2 * n_params["gpt"] * toks / V5E_PEAK_FLOPS
     rows.append({"config": "3_gpt_ar_decode", "tokens_per_sec": round(toks, 1),
                  "batch": b3, "gen_len": gen_len, "mfu_est": round(gpt_mfu, 5)})
 
-    # amortized device cost per token: slope between two generation lengths
-    # removes the per-call constants every wall-clock row carries (the ~30 ms
-    # tunnel round-trip of config 0 plus the one-off prefill), which at
-    # 200-step calls are ~half the measured time
-    dt3l = _timeit(lambda: np.asarray(tts._gpt_sample_fn(
-        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1),
-        2 * gen_len, b3, early_stop=False)))
-    if dt3l > dt3:
-        toks_amort = b3 * gen_len / (dt3l - dt3)
+    # device cost per decode step: subtract a prefill-only call at the SAME
+    # shapes — both calls carry the same tunnel round-trip (config 0) and the
+    # same one-off prefill, so the difference is the pure 200-step decode
+    # scan. (A 200-vs-400-gen slope would overstate: the longer call also
+    # attends over a wider static KV cache every step.)
+    text_b3 = jnp.tile(text3[:1], (b3, 1))
+    prompt_b3 = jnp.tile(prompt3[:1], (b3, 1))
+    max_len3 = text_b3.shape[1] + 2 + prompt_b3.shape[1] + 1 + gen_len
+    prefill_fn = jax.jit(lambda p: tts.gpt.apply(
+        p, text_b3, prompt_b3, max_len3, method=tts.gpt.prefill)[1])
+    dt3p = _timeit(lambda: np.asarray(prefill_fn(tts._serve_params("gpt"))))
+    if dt3 > dt3p:
+        toks_dev = b3 * gen_len / (dt3 - dt3p)
         rows.append({
-            "config": "3c_gpt_ar_decode_amortized",
-            "tokens_per_sec_device": round(toks_amort, 1),
-            "us_per_step_device": round(1e6 * (dt3l - dt3) / gen_len, 1),
+            "config": "3c_gpt_ar_decode_device",
+            "tokens_per_sec_device": round(toks_dev, 1),
+            "us_per_step_device": round(1e6 * (dt3 - dt3p) / gen_len, 1),
             "batch": b3,
-            "mfu_est": round(2 * n_params["gpt"] * toks_amort / V5E_PEAK_FLOPS, 5),
-            "note": "slope between gen_len 200 and 400 calls — per-token device "
-                    "cost net of tunnel round-trip + prefill constants"})
+            "mfu_est": round(2 * n_params["gpt"] * toks_dev / V5E_PEAK_FLOPS, 5),
+            "note": "full decode call minus a prefill-only call at the same "
+                    "shapes — pure decode-scan cost, net of tunnel + prefill"})
 
     # 3b: the serving default — lax.while_loop early exit once every stream
     # has emitted stop_mel_token (api.py always decodes this way); tokens/s
     # counts the tokens actually generated before each stream's stop
     codes3b = np.asarray(tts._gpt_sample_fn(
-        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1), gen_len,
+        gp3, text3[:1], prompt3[:1], jax.random.key(1), gen_len,
         b3, early_stop=True))
     stop_tok = tts.cfg.gpt.stop_mel_token
     gen_counts = np.minimum((codes3b != stop_tok).sum(axis=-1) + 1, gen_len)
     dt3b = _timeit(lambda: np.asarray(tts._gpt_sample_fn(
-        tts.params["gpt"], text3[:1], prompt3[:1], jax.random.key(1), gen_len,
+        gp3, text3[:1], prompt3[:1], jax.random.key(1), gen_len,
         b3, early_stop=True)))
     rows.append({"config": "3b_gpt_ar_decode_early_exit",
                  "tokens_per_sec": round(float(gen_counts.sum()) / dt3b, 1),
