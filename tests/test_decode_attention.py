@@ -1,0 +1,103 @@
+"""Unit tests for the fused decode-attention module (CPU: reference path).
+
+The fused Pallas kernel itself only runs on TPU; these tests pin the packed
+time-major layout contract and the dispatcher gating so the CPU fallback is
+provably the same computation the kernel implements (the kernel-vs-reference
+equivalence is asserted on chip by scripts/tpu_smoke.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ttts_tpu.ops.pallas.decode_attention import (
+    decode_attention,
+    decode_attention_reference,
+    _eligible,
+)
+
+
+def _naive(q, uk, uv, kc, vc, pos):
+    """Straight per-(head,batch)-column softmax attention in numpy."""
+    kc = np.asarray(kc, np.float32).copy()
+    vc = np.asarray(vc, np.float32).copy()
+    kc[pos] = np.asarray(uk, np.float32)[0]
+    vc[pos] = np.asarray(uv, np.float32)[0]
+    q = np.asarray(q, np.float32)
+    ml, dk, bh = kc.shape
+    s = np.einsum("mdx,dx->mx", kc, q) / np.sqrt(dk)
+    s[pos + 1:] = -np.inf
+    s -= s.max(axis=0, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(axis=0, keepdims=True)
+    return np.einsum("mx,mdx->dx", p, vc), kc, vc
+
+
+@pytest.mark.parametrize("pos", [0, 3, 63])
+def test_reference_matches_naive(pos):
+    rng = np.random.default_rng(0)
+    ml, dk, bh = 64, 16, 8
+    q = jnp.asarray(rng.standard_normal((dk, bh)), jnp.float32)
+    uk = jnp.asarray(rng.standard_normal((1, dk, bh)), jnp.float32)
+    uv = jnp.asarray(rng.standard_normal((1, dk, bh)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    o, k2, v2 = decode_attention_reference(q, uk, uv, kc, vc, pos)
+    on, kn, vn = _naive(q, uk, uv, kc, vc, pos)
+    np.testing.assert_allclose(np.asarray(o), on, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k2), kn, atol=0)
+    np.testing.assert_allclose(np.asarray(v2), vn, atol=0)
+
+
+def test_dispatcher_uses_reference_on_cpu():
+    # CPU backend must always route to the XLA formulation (jittable, GSPMD
+    # shardable) regardless of shape eligibility.
+    rng = np.random.default_rng(1)
+    ml, dk, bh = 256, 64, 128  # would be kernel-eligible on TPU
+    args = [jnp.asarray(rng.standard_normal(s), jnp.float32)
+            for s in ((dk, bh), (1, dk, bh), (1, dk, bh),
+                      (ml, dk, bh), (ml, dk, bh))]
+    o1, k1, v1 = decode_attention(*args, 7)
+    o2, k2, v2 = decode_attention_reference(*args, 7)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_eligibility_gates():
+    assert jax.default_backend() == "cpu"
+    # CPU is never eligible
+    assert not _eligible(256, 64, 128, 2, 128)
+    # on-TPU rules, checked directly on the pure-shape part: lane width,
+    # block divisibility, sublane multiple, VMEM budget
+    import ttts_tpu.ops.pallas.decode_attention as m
+    orig = m.jax.default_backend
+    m.jax.default_backend = lambda: "tpu"
+    try:
+        assert m._eligible(256, 64, 128, 2, 128)
+        assert not m._eligible(256, 64, 120, 2, 128)   # bh not lane multiple
+        assert not m._eligible(250, 64, 128, 2, 128)   # ml not blk multiple
+        assert not m._eligible(256, 50, 128, 2, 128)   # dk not 16 multiple
+        assert not m._eligible(1 << 20, 64, 8192, 4, 128)  # VMEM blowout
+    finally:
+        m.jax.default_backend = orig
+
+
+def test_reference_jits_under_scan():
+    # the serving loop carries the caches through lax.scan — make sure the
+    # packed-layout formulation stays shape-stable in a scan carry.
+    rng = np.random.default_rng(2)
+    ml, dk, bh = 32, 8, 4
+    kc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal((dk, bh)), jnp.float32)
+
+    def step(carry, i):
+        kc, vc, q = carry
+        o, kc, vc = decode_attention(q, q[None], q[None], kc, vc, i)
+        return (kc, vc, o.astype(q.dtype)), o
+
+    (_, _, _), outs = jax.jit(
+        lambda c: jax.lax.scan(step, c, jnp.arange(4, 8))
+    )((kc, vc, q0))
+    assert np.isfinite(np.asarray(outs)).all()
