@@ -98,15 +98,17 @@ def main():
 
     def sample_only(key):
         counts0 = jnp.zeros((b, c.number_mel_codes), jnp.int32)
+        # pre-split like the serving loop — an in-scan jax.random.split costs
+        # ~145 us/step on TPU and would mis-attribute RNG cost to the warpers
+        step_keys = jax.random.split(key, gen)
 
-        def step(carry, i):
-            counts, key = carry
-            key, sk = jax.random.split(key)
+        def step(counts, xs):
+            i, sk = xs
             tok = sample_logits(sk, logits0, counts, SamplingParams())
             counts = counts.at[jnp.arange(b), tok].add(1)
-            return (counts, key), tok
+            return counts, tok
 
-        (_, _), toks = jax.lax.scan(step, (counts0, key), jnp.arange(gen))
+        _, toks = jax.lax.scan(step, counts0, (jnp.arange(gen), step_keys))
         return toks
 
     sample_only_j = jax.jit(sample_only)

@@ -18,6 +18,7 @@ api.py temporary_cuda:219).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, Optional
 
@@ -76,7 +77,11 @@ class TextToSpeech:
             use_bf16 = jax.default_backend() not in ("cpu",)
         act_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
-        self.gpt = UnifiedVoice(c.gpt, dtype=act_dtype)
+        # under a GSPMD mesh the manual-DMA decode kernel has no partitioning
+        # rule — serve the XLA decode formulation instead (models/gpt.py)
+        gpt_cfg = c.gpt if mesh is None else dataclasses.replace(
+            c.gpt, fused_decode=False)
+        self.gpt = UnifiedVoice(gpt_cfg, dtype=act_dtype)
         self.codec = SynthesizerTrn(
             c.vqvae, spec_channels=c.audio.filter_length // 2 + 1,
             segment_frames=c.train.segment_size // c.audio.hop_length,

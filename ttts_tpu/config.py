@@ -140,6 +140,11 @@ class GPTConfig:
     # kernel (differentiable; engages only when attention dropout is
     # inactive — set attn_dropout=0.0 to use it in training)
     flash_attention: bool = False
+    # route single-token decode through the fused Pallas decode-attention
+    # kernel (ops/pallas/decode_attention.py) when the shape qualifies.
+    # Set False when serving under a GSPMD mesh — the manual-DMA pallas_call
+    # has no partitioning rule, so mesh serving must use the XLA formulation.
+    fused_decode: bool = True
 
 
 @dataclass(frozen=True)

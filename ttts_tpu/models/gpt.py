@@ -34,6 +34,10 @@ import jax.numpy as jnp
 
 from ttts_tpu.config import GPTConfig
 from ttts_tpu.models.sampling import SamplingParams, sample_logits
+from ttts_tpu.ops.pallas.decode_attention import (
+    decode_attention,
+    decode_attention_reference,
+)
 
 
 def gelu_new(x):
@@ -42,21 +46,24 @@ def gelu_new(x):
 
 
 class KVCache(NamedTuple):
-    """Per-layer KV arrays, each (max_len, B, heads, head_dim) — TIME-MAJOR.
+    """Per-layer KV arrays, each (max_len, head_dim, heads*B) — PACKED
+    TIME-major, the layout of ops/pallas/decode_attention.py.
 
-    Two layout decisions, both measured on v5e at the serving shapes:
+    Three layout decisions, all measured on v5e at the serving shapes:
 
     * A TUPLE of per-layer arrays rather than one stacked (layers, ...)
       tensor: with a stacked cache the decode loop sliced `cache.k[i]` per
       layer and re-`jnp.stack`ed afterwards, which materialized a fresh
       full-cache copy every step (~2×cache bytes of HBM traffic per token).
     * TIME-major (max_len leading) rather than batch-major: the per-step
-      `dynamic_update_slice` then writes one CONTIGUOUS row, which XLA
-      performs in place inside the decode while_loop. With the batch-major
-      (B, max_len, ...) layout the strided update defeated the in-place-DUS
-      pass and XLA round-tripped the full cache through HBM every step —
-      measured 340 µs/step of pure copy at (B=16, max_len=512, 6 layers)
-      vs ~0 for the contiguous form."""
+      update then writes one CONTIGUOUS row — the only form Mosaic can
+      express as a sliced HBM DMA, and the only form XLA's in-place
+      dynamic_update_slice pass keeps in place inside the decode loop
+      (batch-major cost 340 µs/step of pure cache copy at B=16, ML=512, 6L).
+    * (head, batch) flattened HEAD-major into the minor dim: the TPU lane
+      width is 128, so the minor dim must be a lane multiple for the fused
+      kernel (head_dim=64 as minor would pad to 128 and be unsliceable);
+      head-major keeps tensor-parallel head sharding a contiguous chunk."""
 
     k: Tuple[jax.Array, ...]
     v: Tuple[jax.Array, ...]
@@ -81,6 +88,11 @@ class GPT2Block(nn.Module):
     dtype: Any = jnp.float32
     attn_dropout: Optional[float] = None  # None → same as dropout (HF default)
     flash_causal: bool = False
+    # decode dispatch: True → ops/pallas/decode_attention.decode_attention
+    # (fused kernel on TPU, XLA fallback elsewhere); False → always the XLA
+    # formulation (required under a GSPMD mesh, where the manual-DMA
+    # pallas_call has no partitioning rule)
+    fused_decode: bool = True
 
     @nn.compact
     def __call__(
@@ -107,37 +119,59 @@ class GPT2Block(nn.Module):
         k = k.reshape(b, t, h, dk)
         v = v.reshape(b, t, h, dk)
 
+        attn = None
         if cache is not None:
-            ck, cv = cache  # (max_len, B, h, dk) — time-major, see KVCache
-            ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, jnp.transpose(k, (1, 0, 2, 3)), cache_index, axis=0)
-            cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, jnp.transpose(v, (1, 0, 2, 3)), cache_index, axis=0)
-            k, v = ck, cv
-            k_eq = "kbhd"  # time-major cache panels feed the einsums directly
+            ck, cv = cache  # (max_len, dk, h*b) packed time-major, see KVCache
+            kp = jnp.transpose(k, (1, 3, 2, 0)).reshape(t, dk, h * b)
+            vp = jnp.transpose(v, (1, 3, 2, 0)).reshape(t, dk, h * b)
+            if t == 1:
+                # single-token decode: fused row-update + attention in ONE
+                # HBM pass (Pallas kernel on TPU; the packed-layout XLA
+                # einsum elsewhere — and under a GSPMD mesh, where a manual-
+                # DMA pallas_call has no partitioning rule: fused_decode
+                # False). Rows beyond cache_index are masked inside the op,
+                # so attn_mask is not consulted here.
+                att = (decode_attention if self.fused_decode
+                       else decode_attention_reference)
+                qp = jnp.transpose(q[:, 0], (2, 1, 0)).reshape(dk, h * b)
+                out, ck, cv = att(qp, kp, vp, ck, cv, cache_index)
+                attn = jnp.transpose(out.reshape(dk, h, b), (2, 1, 0))
+                attn = attn.reshape(b, 1, d).astype(x.dtype)
+            else:
+                # prefill: write rows [cache_index, cache_index+t) and attend
+                # over the FRESH rows only — the prefix is self-contained, so
+                # this is exact and cheaper than masked attention over the
+                # whole max_len cache.
+                ck = jax.lax.dynamic_update_slice_in_dim(
+                    ck, kp, cache_index, axis=0)
+                cv = jax.lax.dynamic_update_slice_in_dim(
+                    cv, vp, cache_index, axis=0)
+                if attn_mask is not None:
+                    attn_mask = attn_mask[..., :t]
             new_cache = (ck, cv)
         else:
-            k_eq = "bkhd"
             new_cache = None
 
         p_attn = self.dropout if self.attn_dropout is None else self.attn_dropout
         # the flash route drops attn_mask entirely, so it requires the CALLER
         # to declare the mask causal (causal=True) — a padding-augmented or
         # bidirectional mask must never silently become pure-causal
-        if (self.flash_causal and causal and cache is None
+        if attn is not None:
+            pass  # decode path computed above
+        elif (self.flash_causal and causal and cache is None
                 and (deterministic or p_attn == 0.0)
                 and jax.default_backend() not in ("cpu",)):
             attn = _flash_causal_attention(q, k, v, 1.0 / math.sqrt(dk))
             attn = attn.astype(x.dtype).reshape(b, t, d)
         else:
             scores = jnp.einsum(
-                f"bqhd,{k_eq}->bhqk", q, k).astype(jnp.float32) / math.sqrt(dk)
+                "bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(dk)
             if attn_mask is not None:
                 scores = jnp.where(attn_mask, scores, jnp.finfo(jnp.float32).min)
             p = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             if p_attn > 0:
                 p = nn.Dropout(p_attn)(p, deterministic=deterministic)
-            attn = jnp.einsum(f"bhqk,{k_eq}->bqhd", p, v).reshape(b, t, d)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
         attn = nn.Dense(d, kernel_init=proj_init, dtype=self.dtype)(attn)
         if self.dropout > 0:
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
@@ -166,6 +200,7 @@ class GPT2Stack(nn.Module):
     remat: bool = False
     attn_dropout: Optional[float] = None
     flash_causal: bool = False
+    fused_decode: bool = True
 
     @nn.compact
     def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
@@ -183,7 +218,8 @@ class GPT2Stack(nn.Module):
         for i in range(self.layers):
             layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
             x, nc = block_cls(self.dim, self.heads, self.dropout, self.dtype,
-                              self.attn_dropout, self.flash_causal)(
+                              self.attn_dropout, self.flash_causal,
+                              self.fused_decode)(
                 x, attn_mask, layer_cache, cache_index, deterministic, causal
             )
             if nc is not None:
@@ -253,7 +289,8 @@ class UnifiedVoice(nn.Module):
         self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dropout=c.dropout,
                              dtype=self.dtype, remat=c.checkpointing,
                              attn_dropout=c.attn_dropout,
-                             flash_causal=c.flash_attention)
+                             flash_causal=c.flash_attention,
+                             fused_decode=c.fused_decode)
         self.final_norm = nn.LayerNorm(epsilon=1e-5)
         self.text_head = nn.Dense(c.number_text_tokens + 1)
         self.mel_head = nn.Dense(c.number_mel_codes)
@@ -348,14 +385,14 @@ class UnifiedVoice(nn.Module):
         h_heads = c.heads
         dk = d // h_heads
         cache = KVCache(
-            k=tuple(jnp.zeros((max_len, b, h_heads, dk), self.dtype)
+            k=tuple(jnp.zeros((max_len, dk, h_heads * b), self.dtype)
                     for _ in range(c.layers)),
-            v=tuple(jnp.zeros((max_len, b, h_heads, dk), self.dtype)
+            v=tuple(jnp.zeros((max_len, dk, h_heads * b), self.dtype)
                     for _ in range(c.layers)),
         )
-        # prefix attends causally within itself; cache beyond prefix is masked
-        mask = jnp.tril(jnp.ones((p, p), bool))
-        mask = jnp.pad(mask, ((0, 0), (0, max_len - p)))[None, None]
+        # prefix attends causally within itself; blocks attend over the
+        # fresh prefix K/V only (rows past the prefix are never read)
+        mask = _causal_mask(p)
         h, cache = self.gpt(emb, mask, cache, 0, deterministic=True)
         h = self.final_norm(h[:, -1:])
         logits = self.mel_head(h)[:, 0]
@@ -367,8 +404,8 @@ class UnifiedVoice(nn.Module):
         emb = self.mel_embedding(token[:, None]) + jax.lax.dynamic_slice_in_dim(
             self.mel_pos_embedding, mel_position, 1, axis=0
         )[None]
-        mask = (jnp.arange(max_len)[None, None, None, :] <= position)
-        h, cache = self.gpt(emb, mask, cache, position, deterministic=True)
+        # rows > position are masked inside decode_attention — no mask needed
+        h, cache = self.gpt(emb, None, cache, position, deterministic=True)
         h = self.final_norm(h)
         return self.mel_head(h)[:, 0], cache
 
@@ -423,14 +460,39 @@ def inference_speech(
     c = model.cfg
     prefix_len = text_inputs.shape[1] + 2 + prompt_codes.shape[1] + 1
     max_len = prefix_len + max_generate_length
+    b = text_inputs.shape[0]
+
+    # Fused-kernel eligibility shaping (ops/pallas/decode_attention.py):
+    #  * round the cache length up so a Pallas block divides it — rows past
+    #    the live position are masked inside the kernel, never read into the
+    #    softmax, so the padding is exact;
+    #  * pad the batch until heads*B is a multiple of the 128-lane width
+    #    (decode is cache-bandwidth-bound; at B=8,H=8 the padded kernel still
+    #    measures ~2.5× faster than the un-padded XLA fallback). Padded rows
+    #    start `done`, so they emit stop tokens and never delay early exit.
+    pad_b = 0
+    if c.fused_decode and jax.default_backend() == "tpu":
+        max_len = -(-max_len // 128) * 128
+        for pad_b in range(129):
+            if (c.heads * (b + pad_b)) % 128 == 0:
+                break
+        else:
+            pad_b = 0
+    if pad_b:
+        text_inputs = jnp.concatenate(
+            [text_inputs,
+             jnp.broadcast_to(text_inputs[:1], (pad_b,) + text_inputs.shape[1:])])
+        prompt_codes = jnp.concatenate(
+            [prompt_codes,
+             jnp.broadcast_to(prompt_codes[:1], (pad_b,) + prompt_codes.shape[1:])])
 
     cache, logits, p, mel_off = model.apply(
         params, text_inputs, prompt_codes, max_len, method=model.prefill
     )
-    b = text_inputs.shape[0]
+    b_all = b + pad_b
 
     # per-vocab "already generated" counts for the repetition penalty
-    counts = jnp.zeros((b, c.number_mel_codes), jnp.int32)
+    counts = jnp.zeros((b_all, c.number_mel_codes), jnp.int32)
     counts = counts + jax.vmap(
         lambda pc: jnp.zeros((c.number_mel_codes,), jnp.int32).at[pc].add(1)
     )(prompt_codes)
@@ -445,16 +507,17 @@ def inference_speech(
         tok = sample_logits(sk, logits, counts, sampling)
         tok = jnp.where(done, c.stop_mel_token, tok)
         done = done | (tok == c.stop_mel_token)
-        counts = counts.at[jnp.arange(b), tok].add(1)
+        counts = counts.at[jnp.arange(b_all), tok].add(1)
         logits, new_cache = model.apply(
             params, tok, cache, prefix_len + i, mel_off + i, max_len,
             method=model.decode_one,
         )
         return tok, new_cache, logits, counts, done
 
-    done0 = jnp.zeros((b,), bool)
+    done0 = jnp.arange(b_all) >= b  # padded rows are born finished
     if early_stop:
-        tokens0 = jnp.full((b, max_generate_length), c.stop_mel_token, jnp.int32)
+        tokens0 = jnp.full((b_all, max_generate_length), c.stop_mel_token,
+                           jnp.int32)
 
         def cond(carry):
             i, _, _, _, done, _ = carry
@@ -472,7 +535,7 @@ def inference_speech(
 
         carry = (jnp.int32(0), cache, logits, counts, done0, tokens0)
         _, _, _, _, _, tokens = jax.lax.while_loop(cond, body, carry)
-        return tokens
+        return tokens[:b]
 
     def step(carry, xs):
         i, sk = xs
@@ -486,4 +549,4 @@ def inference_speech(
         step, (cache, logits, counts, done0),
         (jnp.arange(max_generate_length), step_keys),
     )
-    return jnp.swapaxes(tokens, 0, 1)  # (B, T)
+    return jnp.swapaxes(tokens, 0, 1)[:b]  # (B, T)
