@@ -263,6 +263,31 @@ def main():
 
     check("dvae_grad_step(pallas-vq)", dvae_step)
 
+    # ---- fused decode-attention kernel vs packed-layout XLA reference ------
+    def decode_attention_kernel():
+        from ttts_tpu.ops.pallas.decode_attention import (
+            decode_attention,
+            decode_attention_reference,
+            _pick_blk,
+        )
+
+        bf = jnp.bfloat16
+        for ml, dk, bh, pos in ((256, 64, 128, 0), (512, 64, 128, 511),
+                                (512, 64, 256, 300)):  # 3rd: adaptive blk=64
+            assert _pick_blk(ml, dk, bh, 2, 128) is not None
+            q = jnp.asarray(rng.standard_normal((dk, bh)), bf)
+            u = jnp.asarray(rng.standard_normal((1, dk, bh)), bf)
+            kc = jnp.asarray(rng.standard_normal((ml, dk, bh)), bf)
+            vc = jnp.asarray(rng.standard_normal((ml, dk, bh)), bf)
+            o1, k1, v1 = decode_attention(q, u, u, kc, vc, pos)
+            o2, k2, v2 = decode_attention_reference(q, u, u, kc, vc, pos)
+            err = float(jnp.max(jnp.abs(o1.astype(jnp.float32)
+                                        - o2.astype(jnp.float32))))
+            assert err < 0.05, f"kernel mismatch {err} at {(ml, dk, bh, pos)}"
+            assert bool(jnp.all(k1 == k2)) and bool(jnp.all(v1 == v2))
+
+    check("decode_attention_kernel", decode_attention_kernel)
+
     # ---- serving (bf16 weight cast + fused conditioning + flash routing) --
     def serving():
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))

@@ -125,3 +125,54 @@ class TestBucketSampler:
         s.set_epoch(1)
         b1 = list(s)
         assert b0 != b1
+
+
+class TestBucketedMains:
+    """_bucketed_batches (train/mains.py): header-only length scan feeding
+    DistributedBucketSampler for the GPT/CLVP/diffusion loaders."""
+
+    def _manifest(self, tmp_path, rng, sizes):
+        rows = []
+        for i, n in enumerate(sizes):
+            wav = str(tmp_path / f"{i}.wav")
+            if n >= 0:
+                save_sidecar(wav, "vq",
+                             rng.integers(0, 1024, size=(n,)).astype(np.int32))
+            rows.append({"text": "ni3 hao3", "path": wav})
+        p = tmp_path / "m.jsonl"
+        write_manifest(p, rows)
+        return p
+
+    def test_lengths_header_scan(self, tmp_path, rng):
+        p = self._manifest(tmp_path, rng, [20, 70, -1, 40])
+        ds = GptTtsDataset(str(p))
+        assert ds.lengths() == [20, 70, -1, 40]
+
+    def test_batches_are_length_homogeneous(self, tmp_path, rng):
+        from ttts_tpu.train.mains import _bucketed_batches
+
+        sizes = [10, 12, 14, 16, 70, 72, 74, 76, -1]
+        p = self._manifest(tmp_path, rng, sizes)
+        ds = GptTtsDataset(str(p))
+        data = _bucketed_batches(ds, batch_size=2, seed=0,
+                                 boundaries=range(0, 129, 64))
+        loader = data.make_loader(0)
+        seen = set()
+        for batch in loader:
+            lm = batch["mel_codes"].shape[1]
+            lens = batch["wav_lengths"] // 1024
+            # every item in a batch came from the same 64-wide bucket
+            assert (lens <= 64).all() or (lens > 64).all()
+            assert lm <= 128
+            seen.update(int(x) for x in lens)
+        # the missing-sidecar row was dropped, real rows all covered
+        assert seen == {10, 12, 14, 16, 70, 72, 74, 76}
+
+    def test_fallback_without_sidecars(self, tmp_path, rng):
+        from ttts_tpu.train.mains import _bucketed_batches
+
+        p = self._manifest(tmp_path, rng, [-1, -1])
+        ds = GptTtsDataset(str(p))
+        data = _bucketed_batches(ds, batch_size=1, seed=0,
+                                 boundaries=range(0, 129, 64))
+        assert data is not None  # falls back to _simple_batches

@@ -142,6 +142,23 @@ class TestSampling:
         assert np.isfinite(out[0, 0])
         assert out[0, 1] == -np.inf
 
+    def test_top_p_sortfree_matches_sort(self):
+        """The O(V^2) sort-free nucleus mask (vocab <= 2048) must equal the
+        sort formulation elementwise, including exact ties and -inf rows."""
+        rng = np.random.default_rng(0)
+        for trial in range(8):
+            lg = rng.standard_normal((4, 1026)).astype(np.float32)
+            if trial % 3 == 0:
+                lg[:, rng.integers(0, 1026, 40)] = -np.inf
+            if trial % 2 == 0:
+                lg[:, 100:160] = lg[:, :1]  # exact ties
+            small = np.asarray(apply_top_p(jnp.asarray(lg), 0.8))
+            # widen past the gate so the sort path runs on the same logits
+            wide = np.full((4, 4096), -np.inf, np.float32)
+            wide[:, :1026] = lg
+            big = np.asarray(apply_top_p(jnp.asarray(wide), 0.8))[:, :1026]
+            np.testing.assert_array_equal(small, big)
+
     def test_repetition_penalty(self):
         logits = jnp.asarray([[2.0, -2.0, 1.0]])
         counts = jnp.asarray([[1, 1, 0]])

@@ -24,7 +24,7 @@ from typing import Callable, Iterator, List, Optional, Sequence
 import numpy as np
 
 from ttts_tpu.data.audio import load_wav
-from ttts_tpu.data.manifest import load_sidecar, read_manifest
+from ttts_tpu.data.manifest import load_sidecar, read_manifest, sidecar_shape
 from ttts_tpu.text import VoiceBpeTokenizer, default_tokenizer, text_to_pinyin
 
 
@@ -76,6 +76,16 @@ class GptTtsDataset:
             return GptExample(ids, codes, int(len(codes) * self.code_samples))
         except Exception:
             return None  # per-sample fault tolerance (gpt/dataset.py:49-51)
+
+    def lengths(self) -> List[int]:
+        """Per-row VQ-code count from the sidecar header (no data load;
+        -1 = sidecar missing → the bucket sampler drops the row, matching
+        __getitem__ returning None). Feeds DistributedBucketSampler."""
+        out = []
+        for r in self.rows:
+            shp = sidecar_shape(r["path"], "vq")
+            out.append(int(np.prod(shp)) if shp else -1)
+        return out
 
     def collate(self, examples: Sequence[Optional[GptExample]], pad_to: int = 32):
         """GptTtsCollater semantics (gpt/dataset.py:65-97) with bucket-rounded
@@ -140,6 +150,16 @@ class DiffusionDataset:
             }
         except Exception:
             return None
+
+    def lengths(self) -> List[int]:
+        """Per-row mel-frame count (header-only scan, capped at MAX_MEL like
+        __getitem__; -1 = missing). The frames axis is whichever sidecar dim
+        isn't the 100-bin mel axis — same heuristic __getitem__ applies."""
+        out = []
+        for r in self.rows:
+            shp = sidecar_shape(r["path"], "mel")
+            out.append(min(max(shp), self.MAX_MEL) if shp else -1)
+        return out
 
     def collate(self, examples, pad_to: int = 32):
         ex = [e for e in examples if e is not None]
@@ -229,6 +249,14 @@ class CLVPDataset:
             return {"text": ids, "speech_tokens": np.asarray(codes, np.int32).reshape(-1)}
         except Exception:
             return None
+
+    def lengths(self) -> List[int]:
+        """Per-row VQ-token count (header-only scan; -1 = missing)."""
+        out = []
+        for r in self.rows:
+            shp = sidecar_shape(r["path"], "vq")
+            out.append(int(np.prod(shp)) if shp else -1)
+        return out
 
     def collate(self, examples, pad_to: int = 32):
         ex = [e for e in examples if e is not None]

@@ -55,3 +55,17 @@ def load_sidecar(audio_path: str, kind: str) -> Optional[np.ndarray]:
 
 def save_sidecar(audio_path: str, kind: str, array: np.ndarray):
     np.save(sidecar_path(audio_path, kind), array)
+
+
+def sidecar_shape(audio_path: str, kind: str) -> Optional[tuple]:
+    """Sidecar array shape WITHOUT loading its data — the O(files) length
+    scan bucket samplers need (mmap reads only the .npy header; legacy .pth
+    pickles fall back to a full load)."""
+    npy = sidecar_path(audio_path, kind)
+    if npy.exists():
+        try:
+            return tuple(np.load(npy, mmap_mode="r").shape)
+        except Exception:
+            return None
+    arr = load_sidecar(audio_path, kind)
+    return None if arr is None else tuple(arr.shape)

@@ -473,10 +473,10 @@ def inference_speech(
     pad_b = 0
     if c.fused_decode and jax.default_backend() == "tpu":
         max_len = -(-max_len // 128) * 128
-        for pad_b in range(129):
-            if (c.heads * (b + pad_b)) % 128 == 0:
-                break
-        else:
+        for pad_b in range(b + 1):  # at most DOUBLE the batch — a tiny batch
+            if (c.heads * (b + pad_b)) % 128 == 0:  # on a small model would
+                break                               # otherwise pad 16×+ for
+        else:                                       # a bandwidth-bound op
             pad_b = 0
     if pad_b:
         text_inputs = jnp.concatenate(

