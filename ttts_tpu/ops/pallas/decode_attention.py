@@ -101,29 +101,36 @@ def _kernel(pos_ref, q_ref, uk_ref, uv_ref, k_hbm, v_hbm,
         k_copy(0, 0).start()
         v_copy(0, 0).start()
 
-    @pl.when(j + 1 < nb)
+    # Panels wholly beyond `pos` hold only masked rows — skip their DMA and
+    # compute entirely (reads scale with the LIVE prefix, not max_len; at a
+    # mid-generation pos this is ~40% of the cache bandwidth). Start/wait
+    # predicates are identical (`j*blk <= pos` for panel j), so every started
+    # copy is waited exactly once.
+    @pl.when((j + 1 < nb) & ((j + 1) * blk <= pos))
     def _prefetch():
         k_copy(j + 1, (j + 1) % 2).start()
         v_copy(j + 1, (j + 1) % 2).start()
 
-    k_copy(j, j % 2).wait()
-    v_copy(j, j % 2).wait()
+    @pl.when(j * blk <= pos)
+    def _compute():
+        k_copy(j, j % 2).wait()
+        v_copy(j, j % 2).wait()
 
-    kb = kbuf[pl.ds((j % 2) * blk, blk)].astype(jnp.float32)  # (blk, dk, bh)
-    q = q_ref[...].astype(jnp.float32)                        # (dk, bh)
-    s = jnp.sum(kb * q[None], axis=1) * scale                 # (blk, bh)
-    rows = j * blk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    s = jnp.where(rows <= pos, s, -jnp.inf)
+        kb = kbuf[pl.ds((j % 2) * blk, blk)].astype(jnp.float32)  # (blk,dk,bh)
+        q = q_ref[...].astype(jnp.float32)                        # (dk, bh)
+        s = jnp.sum(kb * q[None], axis=1) * scale                 # (blk, bh)
+        rows = j * blk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(rows <= pos, s, -jnp.inf)
 
-    m_prev = m_scr[...]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)                           # (1, bh)
-    p = jnp.exp(s - m_new)
-    z_scr[...] = z_scr[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
-    vb = vbuf[pl.ds((j % 2) * blk, blk)].astype(jnp.float32)
-    pv = jnp.sum(p[:, None, :] * vb, axis=0)                  # (dk, bh)
-    acc_scr[...] = acc_scr[...] * alpha + pv
-    m_scr[...] = m_new
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)                           # (1, bh)
+        p = jnp.exp(s - m_new)
+        z_scr[...] = z_scr[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+        vb = vbuf[pl.ds((j % 2) * blk, blk)].astype(jnp.float32)
+        pv = jnp.sum(p[:, None, :] * vb, axis=0)                  # (dk, bh)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[...] = m_new
 
     @pl.when(j == nb - 1)
     def _fin():
