@@ -257,7 +257,16 @@ def _flash_causal_attention(q, k, v, sm_scale: float) -> jax.Array:
     qt = jnp.transpose(jnp.pad(q, pad), (0, 2, 1, 3))
     kt = jnp.transpose(jnp.pad(k, pad), (0, 2, 1, 3))
     vt = jnp.transpose(jnp.pad(v, pad), (0, 2, 1, 3))
-    sizes = BlockSizes.get_default(b, h, t_pad, t_pad, d)
+    # the library default (all blocks 128, block_b=1) runs a huge grid of
+    # tiny tiles: 45.6 ms/apply at (B=64, H=8, T=2048, dk=64) vs 7.7 ms with
+    # 1024-wide blocks (chip sweep, 5.9×) — pick the largest block ≤1024
+    # that divides the padded length
+    bq = next(c for c in (1024, 512, 256, 128) if t_pad % c == 0)
+    sizes = BlockSizes(
+        block_q=bq, block_k_major=bq, block_k=bq, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bq, block_k_dkv=bq,
+        block_q_dkv=bq, block_k_major_dq=bq, block_k_dq=bq, block_q_dq=bq,
+    )
     out = tpu_flash_attention(qt, kt, vt, causal=True, sm_scale=sm_scale,
                               block_sizes=sizes)
     return jnp.transpose(out, (0, 2, 1, 3))[:, :t]
