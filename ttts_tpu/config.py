@@ -253,6 +253,12 @@ class TrainConfig:
     batch_size: int = 32
     logs_folder: str = "logs"
     seed: int = 1234
+    # mixed precision (the reference trains GPT/diffusion/CLVP under
+    # accelerate fp16 AMP, gpt/train.py:30): bf16 ACTIVATIONS on models with
+    # dtype plumbing (UnifiedVoice, AA_diffusion) — params, optimizer state
+    # and loss softmaxes stay f32. Resolved per-backend in train/mains.py:
+    # engages on accelerators only, CPU keeps f32 (tests, exact-parity runs).
+    amp: bool = True
     # GPT loss weights (gpt/config.json)
     text_weight: float = 0.01
     mel_weight: float = 1.0

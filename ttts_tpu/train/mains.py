@@ -43,6 +43,15 @@ from ttts_tpu.train.steps import (
 from ttts_tpu.train.trainer import Trainer
 
 
+def _amp_dtype(cfg: TTTSConfig):
+    """Activation dtype for models with AMP plumbing (reference: accelerate
+    fp16 AMP, gpt/train.py:30). bf16 on accelerators, f32 on CPU — the 4×
+    MXU rate is the point; CPU runs (tests, parity studies) stay exact."""
+    if cfg.train.amp and jax.default_backend() not in ("cpu",):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _cadence(cfg: TTTSConfig):
     """Trainer cadences in MICRO-steps. With optax.MultiSteps accumulation
     the jitted step runs once per micro-batch, so train_steps/save_freq/
@@ -98,7 +107,7 @@ def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None)
     model_cfg = cfg.gpt
     from ttts_tpu.models.gpt import UnifiedVoice
 
-    model = UnifiedVoice(model_cfg)
+    model = UnifiedVoice(model_cfg, dtype=_amp_dtype(cfg))
     ds = GptTtsDataset(manifest)
     # length-bucketed over VQ-code counts (the dominant padded axis);
     # MAX_CODES=600 so buckets of 64 up to 640 cover every kept row
@@ -172,8 +181,8 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
     from ttts_tpu.models.diffusion_net import AA_diffusion
     from ttts_tpu.models.gpt import UnifiedVoice
 
-    gpt_model = UnifiedVoice(cfg.gpt)
-    net = AA_diffusion(cfg.diffusion_net)
+    gpt_model = UnifiedVoice(cfg.gpt, dtype=_amp_dtype(cfg))
+    net = AA_diffusion(cfg.diffusion_net, dtype=_amp_dtype(cfg))
     diffuser = GaussianDiffusion(
         betas=get_named_beta_schedule(cfg.diffusion.noise_schedule,
                                       cfg.diffusion.trained_timesteps)
