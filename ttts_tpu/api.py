@@ -93,7 +93,7 @@ class TextToSpeech:
             flash=jax.default_backend() not in ("cpu",),
         )
         self.vocos = Vocos(c.vocos)
-        self.clvp = CLVP(c.clvp)
+        self.clvp = CLVP(c.clvp, dtype=act_dtype)
         self.params = params if params is not None else self._random_init(
             seed, self.ALL_STAGES if init_stages is None else init_stages
         )

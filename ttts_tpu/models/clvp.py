@@ -16,7 +16,7 @@ and maps cleanly onto fused attention.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -45,8 +45,11 @@ class RMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        var = jnp.mean(x**2, axis=-1, keepdims=True)
-        return x * jax.lax.rsqrt(var + 1e-8) * scale
+        # statistics in f32 — a bf16 mean-of-squares loses ~3 bits over 768
+        # channels; output returns to the activation dtype
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32**2, axis=-1, keepdims=True)
+        return (x32 * jax.lax.rsqrt(var + 1e-8) * scale).astype(x.dtype)
 
 
 class EncoderLayer(nn.Module):
@@ -54,6 +57,7 @@ class EncoderLayer(nn.Module):
     heads: int
     ff_mult: int = 2
     dropout: float = 0.1
+    dtype: Any = jnp.float32  # activation/matmul dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
@@ -62,9 +66,9 @@ class EncoderLayer(nn.Module):
         b, t, _ = x.shape
 
         y = RMSNorm()(x)
-        q = nn.Dense(d, use_bias=False)(y).reshape(b, t, h, dk)
-        k = nn.Dense(d, use_bias=False)(y).reshape(b, t, h, dk)
-        v = nn.Dense(d, use_bias=False)(y).reshape(b, t, h, dk)
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
         pos = jnp.arange(t, dtype=jnp.float32)
         q = apply_rotary(q, pos)
         k = apply_rotary(k, pos)
@@ -75,27 +79,30 @@ class EncoderLayer(nn.Module):
         if self.dropout > 0:
             p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
         attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
-        x = x + nn.Dense(d, use_bias=False)(attn)
+        x = x + nn.Dense(d, use_bias=False, dtype=self.dtype)(attn)
 
         # GLU feed-forward (ff_glu=True, ff_mult=2)
         y = RMSNorm()(x)
-        u = nn.Dense(d * self.ff_mult, use_bias=False)(y)
-        g = nn.Dense(d * self.ff_mult, use_bias=False)(y)
+        u = nn.Dense(d * self.ff_mult, use_bias=False, dtype=self.dtype)(y)
+        g = nn.Dense(d * self.ff_mult, use_bias=False, dtype=self.dtype)(y)
         y = u * jax.nn.gelu(g, approximate=True)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return x + nn.Dense(d, use_bias=False)(y)
+        return x + nn.Dense(d, use_bias=False, dtype=self.dtype)(y)
 
 
 class CLVPEncoder(nn.Module):
     dim: int
     depth: int
     heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
+        x = x.astype(self.dtype)
         for _ in range(self.depth):
-            x = EncoderLayer(self.dim, self.heads)(x, mask, deterministic)
+            x = EncoderLayer(self.dim, self.heads, dtype=self.dtype)(
+                x, mask, deterministic)
         return RMSNorm()(x)
 
 
@@ -169,6 +176,10 @@ def masked_mean(x, mask):
 
 class CLVP(nn.Module):
     cfg: CLVPConfig
+    # activation dtype for the xformers encoders (bf16 under train.amp /
+    # TPU serving); pooling, latent projections, L2 norm and the InfoNCE
+    # loss always run f32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, text, speech_tokens, text_mask=None, voice_mask=None,
@@ -193,10 +204,12 @@ class CLVP(nn.Module):
         speech_emb = nn.Embed(c.num_speech_tokens, c.dim_speech)(speech_tokens)
 
         if c.use_xformers:
-            enc_text = CLVPEncoder(c.dim_text, c.text_enc_depth, c.text_heads)(
+            enc_text = CLVPEncoder(c.dim_text, c.text_enc_depth, c.text_heads,
+                                   dtype=self.dtype)(
                 text_emb, text_mask, deterministic=not train
             )
-            enc_speech = CLVPEncoder(c.dim_speech, c.speech_enc_depth, c.speech_heads)(
+            enc_speech = CLVPEncoder(c.dim_speech, c.speech_enc_depth,
+                                     c.speech_heads, dtype=self.dtype)(
                 speech_emb, voice_mask, deterministic=not train
             )
         else:
@@ -215,6 +228,8 @@ class CLVP(nn.Module):
                                       c.speech_heads, c.dim_head)(
                 speech_emb, voice_mask, deterministic=not train)
 
+        enc_text = enc_text.astype(jnp.float32)
+        enc_speech = enc_speech.astype(jnp.float32)
         text_latent = nn.Dense(c.dim_latent, use_bias=False)(masked_mean(enc_text, text_mask))
         speech_latent = nn.Dense(c.dim_latent, use_bias=False)(
             masked_mean(enc_speech, voice_mask)

@@ -153,7 +153,7 @@ def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None)
 def train_clvp(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None):
     from ttts_tpu.models.clvp import CLVP
 
-    model = CLVP(cfg.clvp)
+    model = CLVP(cfg.clvp, dtype=_amp_dtype(cfg))
     ds = CLVPDataset(manifest)
     data = _bucketed_batches(ds, cfg.train.batch_size, cfg.train.seed,
                              boundaries=range(0, 641, 64))
