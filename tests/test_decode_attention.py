@@ -83,6 +83,41 @@ def test_eligibility_gates():
         m.jax.default_backend = orig
 
 
+@pytest.mark.parametrize("pos,dtype", [
+    (0, jnp.float32),        # first row: every panel but 0 must be skipped
+    (63, jnp.float32),       # last row of panel 0 (blk=64 below)
+    (64, jnp.float32),       # first row of panel 1: panel-skip boundary
+    (70, jnp.bfloat16),      # serving cache dtype
+    (255, jnp.float32),      # full cache: no panel skipped
+])
+def test_kernel_interpret_matches_reference(monkeypatch, pos, dtype):
+    """Run the ACTUAL kernel body (online softmax, panel-skip predicates,
+    row-update-before-read ordering) in Pallas interpret mode on CPU and pin
+    it against the XLA formulation. The on-chip Mosaic compile + timing is
+    covered by scripts/tpu_smoke.py; this catches logic regressions in CI."""
+    from jax.experimental import pallas as pl
+    import ttts_tpu.ops.pallas.decode_attention as m
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        m.pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+
+    rng = np.random.default_rng(3)
+    ml, dk, bh = 256, 16, 128
+    q, uk, uv, kc, vc = (
+        jnp.asarray(rng.standard_normal(s), dtype)
+        for s in ((dk, bh), (1, dk, bh), (1, dk, bh),
+                  (ml, dk, bh), (ml, dk, bh)))
+    o, k2, v2 = m.fused_decode_attention(q, uk, uv, kc, vc, pos, blk=64)
+    orf, kr, vr = m.decode_attention_reference(q, uk, uv, kc, vc, pos)
+    tol = 1e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(o, np.float32),
+                               np.asarray(orf, np.float32), atol=tol)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(kr))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
+
+
 def test_reference_jits_under_scan():
     # the serving loop carries the caches through lax.scan — make sure the
     # packed-layout formulation stays shape-stable in a scan carry.
