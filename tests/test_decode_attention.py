@@ -103,19 +103,27 @@ def test_kernel_interpret_matches_reference(monkeypatch, pos, dtype):
         m.pl, "pallas_call",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
 
-    rng = np.random.default_rng(3)
-    ml, dk, bh = 256, 16, 128
-    q, uk, uv, kc, vc = (
-        jnp.asarray(rng.standard_normal(s), dtype)
-        for s in ((dk, bh), (1, dk, bh), (1, dk, bh),
-                  (ml, dk, bh), (ml, dk, bh)))
-    o, k2, v2 = m.fused_decode_attention(q, uk, uv, kc, vc, pos, blk=64)
-    orf, kr, vr = m.decode_attention_reference(q, uk, uv, kc, vc, pos)
-    tol = 1e-6 if dtype == jnp.float32 else 2e-2
-    np.testing.assert_allclose(np.asarray(o, np.float32),
-                               np.asarray(orf, np.float32), atol=tol)
-    np.testing.assert_array_equal(np.asarray(k2), np.asarray(kr))
-    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
+    # fused_decode_attention is module-level jax.jit: pallas_call only runs
+    # at TRACE time, so a pre-existing cached executable for this (shape,
+    # dtype, blk) signature would bypass the patch — and an interpret-mode
+    # executable must not leak past the patch's lifetime either.
+    m.fused_decode_attention.clear_cache()
+    try:
+        rng = np.random.default_rng(3)
+        ml, dk, bh = 256, 16, 128
+        q, uk, uv, kc, vc = (
+            jnp.asarray(rng.standard_normal(s), dtype)
+            for s in ((dk, bh), (1, dk, bh), (1, dk, bh),
+                      (ml, dk, bh), (ml, dk, bh)))
+        o, k2, v2 = m.fused_decode_attention(q, uk, uv, kc, vc, pos, blk=64)
+        orf, kr, vr = m.decode_attention_reference(q, uk, uv, kc, vc, pos)
+        tol = 1e-6 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(np.asarray(o, np.float32),
+                                   np.asarray(orf, np.float32), atol=tol)
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(kr))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
+    finally:
+        m.fused_decode_attention.clear_cache()
 
 
 def test_reference_jits_under_scan():
