@@ -87,14 +87,47 @@ def _fake_rotary():
 
 
 def _fake_torchaudio():
+    import math
+
     torchaudio = types.ModuleType("torchaudio")
     transforms = types.ModuleType("torchaudio.transforms")
     functional = types.ModuleType("torchaudio.functional")
+    functional_inner = types.ModuleType("torchaudio.functional.functional")
 
     class _Unavailable:
         def __init__(self, *a, **k):
             raise RuntimeError("torchaudio shim: not available in this image")
 
+    # real mel-scale helpers (torchaudio.functional.functional semantics) —
+    # ttts/vocoder/heads.py:3 imports them at module level; IMDCTSymExpHead
+    # uses them for its perceptual init when sample_rate is given
+    def _hz_to_mel(freq: float, mel_scale: str = "htk") -> float:
+        if mel_scale == "htk":
+            return 2595.0 * math.log10(1.0 + freq / 700.0)
+        mels = (freq - 0.0) / (200.0 / 3)
+        min_log_hz, min_log_mel = 1000.0, 1000.0 / (200.0 / 3)
+        logstep = math.log(6.4) / 27.0
+        if freq >= min_log_hz:
+            mels = min_log_mel + math.log(freq / min_log_hz) / logstep
+        return mels
+
+    def _mel_to_hz(mels, mel_scale: str = "htk"):
+        import torch
+
+        if mel_scale == "htk":
+            return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+        freqs = 0.0 + (200.0 / 3) * mels
+        min_log_hz, min_log_mel = 1000.0, 1000.0 / (200.0 / 3)
+        logstep = math.log(6.4) / 27.0
+        log_t = mels >= min_log_mel
+        freqs[log_t] = min_log_hz * torch.exp(logstep * (mels[log_t] - min_log_mel))
+        return freqs
+
+    functional_inner._hz_to_mel = _hz_to_mel
+    functional_inner._mel_to_hz = _mel_to_hz
+    functional._hz_to_mel = _hz_to_mel
+    functional._mel_to_hz = _mel_to_hz
+    functional.functional = functional_inner
     transforms.MelSpectrogram = _Unavailable
     transforms.Resample = _Unavailable
     torchaudio.transforms = transforms
@@ -106,6 +139,7 @@ def _fake_torchaudio():
         "torchaudio": torchaudio,
         "torchaudio.transforms": transforms,
         "torchaudio.functional": functional,
+        "torchaudio.functional.functional": functional_inner,
     }
 
 

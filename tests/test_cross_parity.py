@@ -326,6 +326,78 @@ class TestCLVPParity:
         assert abs(loss_j - loss_r) < TOL
 
 
+class TestCLVPXformersParity:
+    """ttts/clvp/model.py:19 CLVP with use_xformers=True (the api.py:208
+    serving configuration: x-transformers Encoder — RMSNorm, GLU-FF mult 2,
+    rotary over the first 32 head dims of q/k/v, dim_head 64, final wrapper
+    LayerNorm) vs models/clvp.py CLVPEncoder on ported weights. Depth 20→3
+    to bound CPU compile; layer math is identical per depth."""
+
+    B, LT, LS, DEPTH = 3, 30, 44, 3
+
+    @pytest.fixture(scope="class")
+    def bundle(self):
+        clvpm = refshim.import_ref("ttts.clvp.model")
+        torch.manual_seed(11)
+        ref = clvpm.CLVP(
+            dim_text=768, dim_speech=768, dim_latent=768,
+            text_enc_depth=self.DEPTH, speech_enc_depth=self.DEPTH,
+            text_heads=16, speech_heads=16, use_xformers=True,
+        ).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        from ttts_tpu.config import CLVPConfig
+        from ttts_tpu.models.clvp import CLVP
+        from ttts_tpu.models.porting import port_clvp_xformers_state
+
+        cfg = CLVPConfig(text_enc_depth=self.DEPTH, speech_enc_depth=self.DEPTH,
+                         use_xformers=True)
+        ours = CLVP(cfg)
+        variables = {"params": jax.tree_util.tree_map(
+            jnp.asarray,
+            port_clvp_xformers_state(sd, text_depth=self.DEPTH,
+                                     speech_depth=self.DEPTH))}
+
+        rng = np.random.default_rng(13)
+        text = rng.integers(0, 256, size=(self.B, self.LT))
+        speech = rng.integers(0, 8192, size=(self.B, self.LS))
+        return ref, ours, variables, text, speech
+
+    def test_similarity_and_loss(self, bundle):
+        ref, ours, variables, text, speech = bundle
+        with torch.no_grad():
+            sim_r = ref(torch.from_numpy(text), torch.from_numpy(speech),
+                        return_loss=False).numpy()
+            loss_r = float(ref(torch.from_numpy(text), torch.from_numpy(speech),
+                               return_loss=True))
+        sim_j = np.asarray(jax.jit(ours.apply)(
+            variables, jnp.asarray(text), jnp.asarray(speech)))
+        loss_j = float(jax.jit(
+            lambda v, a, b: ours.apply(v, a, b, return_loss=True)
+        )(variables, jnp.asarray(text), jnp.asarray(speech)))
+        np.testing.assert_allclose(sim_j, sim_r, atol=TOL, rtol=0)
+        assert abs(loss_j - loss_r) < TOL
+
+    def test_partial_masks(self, bundle):
+        """Ragged masks route through the q×k pair mask — rank the same pairs
+        the torch model would under its all-ones eval mask on the valid
+        prefix (exercised by trimming vs masking)."""
+        ref, ours, variables, text, speech = bundle
+        lt, ls = self.LT - 7, self.LS - 11
+        with torch.no_grad():
+            sim_r = ref(torch.from_numpy(text[:, :lt]),
+                        torch.from_numpy(speech[:, :ls]),
+                        return_loss=False).numpy()
+        tmask = np.zeros_like(text, bool)
+        tmask[:, :lt] = True
+        vmask = np.zeros_like(speech, bool)
+        vmask[:, :ls] = True
+        sim_j = np.asarray(jax.jit(ours.apply)(
+            variables, jnp.asarray(text), jnp.asarray(speech),
+            jnp.asarray(tmask), jnp.asarray(vmask)))
+        np.testing.assert_allclose(sim_j, sim_r, atol=TOL, rtol=0)
+
+
 class TestRVQ1Parity:
     """ttts/vqvae/rvq1.py:234 RVQ1 vs models/rvq1.py on ported weights.
 

@@ -7,10 +7,20 @@ learned temperature; symmetric InfoNCE when training (model.py:137-139), and
 per-pair similarity for reranking AR samples (model.py:133-135, used by
 api.py:416-430).
 
-Encoders use the reference's preferred x-transformers configuration
-(model.py:53-83: RMSNorm, GLU feed-forward with mult 2, rotary position
-embeddings) implemented directly in flax — rotary needs no position tables
-and maps cleanly onto fused attention.
+Encoders come in BOTH reference flavours (model.py:53-96):
+
+* use_xformers=True — the vendored x-transformers Encoder
+  (utils/xtransformers.py) wrapped by CheckpointedXTransformerEncoder →
+  ContinuousTransformerWrapper: per layer RMSNorm → Attention (rotary on the
+  first max(dim_head//2, 32) head dims of q, k AND v — this x-transformers
+  vintage rotates v too, xtransformers.py:409-413; biasless q/k/v, biased
+  out) → residual; RMSNorm → GLU feed-forward (one 2×-wide projection,
+  value·GELU(gate), ff_mult 2, xtransformers.py:426-436) → residual; then
+  the wrapper's final LayerNorm (xtransformers.py:1213,1235). Rebuilt
+  exactly in flax so state dicts port and outputs match ≤1e-3.
+* use_xformers=False — the plain utils/transformer.py Transformer (the v2
+  trainer's default): LayerScale(PreNorm(Attention/GEGLU)), learned
+  absolute positions, no final norm.
 """
 
 from __future__ import annotations
@@ -30,80 +40,105 @@ def rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def apply_rotary(x, t):
-    """x: (B, T, H, D). Standard rotary over the head dim."""
-    d = x.shape[-1]
-    freqs = 1.0 / (10000 ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-    angles = t[:, None] * freqs[None, :]  # (T, D/2)
-    angles = jnp.concatenate([angles, angles], axis=-1)  # (T, D)
+def apply_rotary(x, t, rot_dim: int):
+    """x: (B, T, H, D). Rotary over the FIRST `rot_dim` head dims only —
+    x-transformers uses rotary_emb_dim = max(dim_head // 2, 32) and leaves
+    the rest of the head untouched (xtransformers.py:781,409-413)."""
+    xl, xr = x[..., :rot_dim], x[..., rot_dim:]
+    freqs = 1.0 / (10000 ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim))
+    angles = t[:, None] * freqs[None, :]  # (T, rot/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (T, rot)
     cos = jnp.cos(angles)[None, :, None, :]
     sin = jnp.sin(angles)[None, :, None, :]
-    return x * cos + rotate_half(x) * sin
+    return jnp.concatenate([xl * cos + rotate_half(xl) * sin, xr], axis=-1)
 
 
 class RMSNorm(nn.Module):
+    """xtransformers.py RMSNorm:335-343: x / clamp(‖x‖·dim^-½, eps) · g.
+    clamp-min (not +eps inside the sqrt) matches torch exactly."""
+
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         # statistics in f32 — a bf16 mean-of-squares loses ~3 bits over 768
         # channels; output returns to the activation dtype
         x32 = x.astype(jnp.float32)
-        var = jnp.mean(x32**2, axis=-1, keepdims=True)
-        return (x32 * jax.lax.rsqrt(var + 1e-8) * scale).astype(x.dtype)
+        rms = jnp.sqrt(jnp.mean(x32**2, axis=-1, keepdims=True))
+        return (x32 / jnp.maximum(rms, 1e-8) * scale).astype(x.dtype)
 
 
 class EncoderLayer(nn.Module):
+    """One x-transformers ('a', 'f') pair (xtransformers.py:1016 Encoder with
+    use_rmsnorm, ff_glu, ff_mult=2, rotary_pos_emb; attn/ff dropout 0.1)."""
+
     dim: int
     heads: int
+    # x-transformers' Attention defaults dim_head to 64 INDEPENDENT of
+    # dim/heads (xtransformers.py:481-512): inner = heads·64, with to_out
+    # mapping inner → dim. The reference CLVP config never overrides it.
+    dim_head: int = 64
     ff_mult: int = 2
     dropout: float = 0.1
     dtype: Any = jnp.float32  # activation/matmul dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
-        d, h = self.dim, self.heads
-        dk = d // h
+        d, h, dk = self.dim, self.heads, self.dim_head
+        inner = h * dk
+        rot = max(dk // 2, 32)
         b, t, _ = x.shape
 
         y = RMSNorm()(x)
-        q = nn.Dense(d, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
-        k = nn.Dense(d, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
-        v = nn.Dense(d, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype)(y).reshape(b, t, h, dk)
         pos = jnp.arange(t, dtype=jnp.float32)
-        q = apply_rotary(q, pos)
-        k = apply_rotary(k, pos)
+        # this x-transformers vintage rotates v as well (xtransformers.py:411)
+        q = apply_rotary(q, pos, rot)
+        k = apply_rotary(k, pos, rot)
+        v = apply_rotary(v, pos, rot)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dk)
         if mask is not None:
-            scores = jnp.where(mask[:, None, None, :], scores, -1e9)
+            # input_mask = q_mask × k_mask, filled with -finfo.max
+            # (xtransformers.py:633-639,667)
+            pair = mask[:, None, :, None] & mask[:, None, None, :]
+            scores = jnp.where(pair, scores, -jnp.finfo(jnp.float32).max)
         p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         if self.dropout > 0:
             p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
-        x = x + nn.Dense(d, use_bias=False, dtype=self.dtype)(attn)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, inner)
+        x = x + nn.Dense(d, dtype=self.dtype)(attn)  # to_out has a bias
 
-        # GLU feed-forward (ff_glu=True, ff_mult=2)
+        # GLU feed-forward: ONE 2×-wide biased projection, value·GELU(gate)
+        # (exact gelu — torch nn.GELU default), dropout, biased out
+        # (xtransformers.py:426-436,440-470)
         y = RMSNorm()(x)
-        u = nn.Dense(d * self.ff_mult, use_bias=False, dtype=self.dtype)(y)
-        g = nn.Dense(d * self.ff_mult, use_bias=False, dtype=self.dtype)(y)
-        y = u * jax.nn.gelu(g, approximate=True)
+        y = nn.Dense(d * self.ff_mult * 2, dtype=self.dtype)(y)
+        u, g = jnp.split(y, 2, axis=-1)
+        y = u * jax.nn.gelu(g, approximate=False)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return x + nn.Dense(d, use_bias=False, dtype=self.dtype)(y)
+        return x + nn.Dense(d, dtype=self.dtype)(y)
 
 
 class CLVPEncoder(nn.Module):
+    """CheckpointedXTransformerEncoder(needs_permute=False) →
+    ContinuousTransformerWrapper: rotary layers (no absolute positions since
+    has_pos_emb) + the wrapper's trailing LayerNorm (xtransformers.py:1213)."""
+
     dim: int
     depth: int
     heads: int
+    dim_head: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
         x = x.astype(self.dtype)
         for _ in range(self.depth):
-            x = EncoderLayer(self.dim, self.heads, dtype=self.dtype)(
-                x, mask, deterministic)
-        return RMSNorm()(x)
+            x = EncoderLayer(self.dim, self.heads, self.dim_head,
+                             dtype=self.dtype)(x, mask, deterministic)
+        return nn.LayerNorm(epsilon=1e-5)(x)
 
 
 class PlainEncoderLayer(nn.Module):
@@ -205,11 +240,12 @@ class CLVP(nn.Module):
 
         if c.use_xformers:
             enc_text = CLVPEncoder(c.dim_text, c.text_enc_depth, c.text_heads,
-                                   dtype=self.dtype)(
+                                   c.dim_head, dtype=self.dtype)(
                 text_emb, text_mask, deterministic=not train
             )
             enc_speech = CLVPEncoder(c.dim_speech, c.speech_enc_depth,
-                                     c.speech_heads, dtype=self.dtype)(
+                                     c.speech_heads, c.dim_head,
+                                     dtype=self.dtype)(
                 speech_emb, voice_mask, deterministic=not train
             )
         else:

@@ -431,6 +431,53 @@ def _clvp_plain_encoder(sd: Dict, p: str, depth: int) -> Dict:
     return out
 
 
+def _clvp_xformers_encoder(sd: Dict, p: str, depth: int) -> Dict:
+    """CheckpointedXTransformerEncoder (utils/utils.py:442) →
+    clvp.CLVPEncoder. Torch layout: {p}.transformer.attn_layers.layers.{j} =
+    [norms, CheckpointedLayer(block), residual]; even j = Attention, odd j =
+    GLU FeedForward; {p}.transformer.norm = the wrapper's final LayerNorm
+    (xtransformers.py:1213). The rotary inv_freq buffer is deterministic —
+    nothing to port."""
+    out: Dict = {}
+    for i in range(depth):
+        ap = f"{p}.transformer.attn_layers.layers.{2 * i}"
+        fp = f"{p}.transformer.attn_layers.layers.{2 * i + 1}"
+        out[f"EncoderLayer_{i}"] = {
+            "RMSNorm_0": {"scale": np.asarray(sd[f"{ap}.0.0.g"])},
+            "Dense_0": {"kernel": np.asarray(sd[f"{ap}.1.wrap.to_q.weight"]).T},
+            "Dense_1": {"kernel": np.asarray(sd[f"{ap}.1.wrap.to_k.weight"]).T},
+            "Dense_2": {"kernel": np.asarray(sd[f"{ap}.1.wrap.to_v.weight"]).T},
+            "Dense_3": _dense(sd, f"{ap}.1.wrap.to_out"),
+            "RMSNorm_1": {"scale": np.asarray(sd[f"{fp}.0.0.g"])},
+            # GLU: one 2×-wide projection; chunk order value-then-gate is
+            # preserved by porting the whole kernel (xtransformers.py:432-436)
+            "Dense_4": _dense(sd, f"{fp}.1.wrap.net.0.proj"),
+            "Dense_5": _dense(sd, f"{fp}.1.wrap.net.3"),
+        }
+    out["LayerNorm_0"] = {"scale": np.asarray(sd[p + ".transformer.norm.weight"]),
+                          "bias": np.asarray(sd[p + ".transformer.norm.bias"])}
+    return out
+
+
+def port_clvp_xformers_state(state_dict: Dict[str, "np.ndarray"],
+                             text_depth: int = 6,
+                             speech_depth: int = 6) -> Dict:
+    """Map a reference CLVP torch state dict with use_xformers=True (the
+    api.py:208 serving configuration, ttts/clvp/model.py:53-83) onto our
+    params (models/clvp.py CLVPEncoder path — no position tables)."""
+    sd = state_dict
+    return {
+        "Embed_0": {"embedding": np.asarray(sd["text_emb.weight"])},
+        "Embed_1": {"embedding": np.asarray(sd["speech_emb.weight"])},
+        "CLVPEncoder_0": _clvp_xformers_encoder(sd, "text_transformer", text_depth),
+        "CLVPEncoder_1": _clvp_xformers_encoder(sd, "speech_transformer",
+                                                speech_depth),
+        "Dense_0": {"kernel": np.asarray(sd["to_text_latent.weight"]).T},
+        "Dense_1": {"kernel": np.asarray(sd["to_speech_latent.weight"]).T},
+        "temperature": np.asarray(sd["temperature"]).reshape(()),
+    }
+
+
 def port_clvp_state(state_dict: Dict[str, "np.ndarray"], text_depth: int = 20,
                     speech_depth: int = 20) -> Dict:
     """Map a reference CLVP torch state dict (ttts/clvp/model.py:19, the
