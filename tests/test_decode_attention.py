@@ -144,3 +144,68 @@ def test_reference_jits_under_scan():
         lambda c: jax.lax.scan(step, c, jnp.arange(4, 8))
     )((kc, vc, q0))
     assert np.isfinite(np.asarray(outs)).all()
+
+
+# ---------------------------------------------------------------- spmd rule
+
+
+def test_spmd_partitioning_exact_and_no_allgather():
+    """decode_attention_spmd under a 4-way TP mesh: outputs shard along the
+    packed bh dim, match the unsharded reference bit-for-bit, and the compiled
+    program contains NO all-gather — the rule runs the dispatcher per-shard
+    (the fused kernel on TPU; the XLA body here on CPU)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ttts_tpu.ops.pallas.decode_attention import decode_attention_spmd
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), ("model",))
+
+    rng = np.random.default_rng(0)
+    ml, dk, bh = 256, 32, 16
+    q = jnp.asarray(rng.standard_normal((dk, bh)), jnp.float32)
+    uk = jnp.asarray(rng.standard_normal((1, dk, bh)), jnp.float32)
+    uv = jnp.asarray(rng.standard_normal((1, dk, bh)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    pos = jnp.int32(37)
+
+    ref = jax.jit(decode_attention_reference)(q, uk, uv, kc, vc, pos)
+
+    sh2 = NamedSharding(mesh, P(None, "model"))
+    sh3 = NamedSharding(mesh, P(None, None, "model"))
+    ops = (jax.device_put(q, sh2), jax.device_put(uk, sh3),
+           jax.device_put(uv, sh3), jax.device_put(kc, sh3),
+           jax.device_put(vc, sh3))
+
+    f = jax.jit(decode_attention_spmd)
+    out, k2, v2 = f(*ops, pos)
+    # results stay sharded along bh — no implicit replication
+    assert out.sharding.spec == P(None, "model"), out.sharding
+    assert k2.sharding.spec == P(None, None, "model"), k2.sharding
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref[2]))
+
+    hlo = f.lower(*ops, pos).compile().as_text()
+    assert "all-gather" not in hlo, "spmd rule inserted an all-gather"
+
+
+def test_spmd_matches_reference_single_device():
+    """Outside any mesh, decode_attention_spmd is the plain dispatcher."""
+    from ttts_tpu.ops.pallas.decode_attention import decode_attention_spmd
+
+    rng = np.random.default_rng(3)
+    ml, dk, bh = 64, 16, 8
+    q = jnp.asarray(rng.standard_normal((dk, bh)), jnp.float32)
+    uk = jnp.asarray(rng.standard_normal((1, dk, bh)), jnp.float32)
+    uv = jnp.asarray(rng.standard_normal((1, dk, bh)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((ml, dk, bh)), jnp.float32)
+    for pos in (0, 5, 63):
+        got = jax.jit(decode_attention_spmd)(q, uk, uv, kc, vc, pos)
+        ref = decode_attention_reference(q, uk, uv, kc, vc, pos)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

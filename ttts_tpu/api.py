@@ -77,20 +77,31 @@ class TextToSpeech:
             use_bf16 = jax.default_backend() not in ("cpu",)
         act_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
-        # under a GSPMD mesh the manual-DMA decode kernel has no partitioning
-        # rule — serve the XLA decode formulation instead (models/gpt.py)
+        # under a GSPMD mesh, route decode through decode_attention_spmd —
+        # a custom_partitioning rule shards the packed head-major cache dim,
+        # so the fused kernel stays engaged per-shard (TP head chunks are
+        # contiguous in the cache's minor dim by construction, models/gpt.py
+        # KVCache)
         gpt_cfg = c.gpt if mesh is None else dataclasses.replace(
-            c.gpt, fused_decode=False)
+            c.gpt, decode_spmd=True)
         self.gpt = UnifiedVoice(gpt_cfg, dtype=act_dtype)
         self.codec = SynthesizerTrn(
             c.vqvae, spec_channels=c.audio.filter_length // 2 + 1,
             segment_frames=c.train.segment_size // c.audio.hop_length,
         )
         # Pallas fused attention on the per-step trunk path when a real
-        # accelerator backs the session (CPU keeps the XLA path)
+        # accelerator backs the session (CPU keeps the XLA path). If the
+        # mesh carries an 'sp' axis, the trunk's attention runs sequence-
+        # parallel ring attention over it (SURVEY §5.7 — long-utterance
+        # synthesis past the single-chip score/VMEM bound; the reference
+        # caps lengths instead, ttts/gpt/config.json 1600+800).
+        sp_mesh = (mesh if mesh is not None
+                   and mesh.shape.get("sp", 1) > 1 else None)
         self.diffusion_net = AA_diffusion(
             c.diffusion_net, dtype=act_dtype,
-            flash=jax.default_backend() not in ("cpu",),
+            flash=(jax.default_backend() not in ("cpu",)
+                   and sp_mesh is None),
+            sp_mesh=sp_mesh,
         )
         self.vocos = Vocos(c.vocos)
         self.clvp = CLVP(c.clvp, dtype=act_dtype)
@@ -289,10 +300,11 @@ class TextToSpeech:
                early_stop=True):
             text_b = jnp.tile(text_ids, (num_samples, 1))
             prompt_b = jnp.tile(prompt_codes, (num_samples, 1))
+            tp = 1 if self.mesh is None else self.mesh.shape.get("model", 1)
             return inference_speech(
                 self.gpt, params, text_b, prompt_b, key, max_gen,
                 SamplingParams(top_p=0.8, temperature=0.8, repetition_penalty=2.0),
-                early_stop=early_stop,
+                early_stop=early_stop, tp_shards=tp,
             )
 
         return jax.jit(fn, static_argnames=("max_gen", "num_samples", "early_stop"))

@@ -142,9 +142,13 @@ class GPTConfig:
     flash_attention: bool = False
     # route single-token decode through the fused Pallas decode-attention
     # kernel (ops/pallas/decode_attention.py) when the shape qualifies.
-    # Set False when serving under a GSPMD mesh — the manual-DMA pallas_call
-    # has no partitioning rule, so mesh serving must use the XLA formulation.
     fused_decode: bool = True
+    # serve decode through decode_attention_spmd — the same dispatcher wrapped
+    # in a custom_partitioning rule that shards the packed head-major bh dim,
+    # so the fused kernel stays engaged per-shard under a GSPMD mesh (TP head
+    # sharding is a contiguous chunk of the cache's minor dim). Set by api.py
+    # when serving with a mesh.
+    decode_spmd: bool = False
 
 
 @dataclass(frozen=True)

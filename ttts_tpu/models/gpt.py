@@ -37,6 +37,7 @@ from ttts_tpu.models.sampling import SamplingParams, sample_logits
 from ttts_tpu.ops.pallas.decode_attention import (
     decode_attention,
     decode_attention_reference,
+    decode_attention_spmd,
 )
 
 
@@ -90,9 +91,11 @@ class GPT2Block(nn.Module):
     flash_causal: bool = False
     # decode dispatch: True → ops/pallas/decode_attention.decode_attention
     # (fused kernel on TPU, XLA fallback elsewhere); False → always the XLA
-    # formulation (required under a GSPMD mesh, where the manual-DMA
-    # pallas_call has no partitioning rule)
+    # formulation. decode_spmd overrides both with decode_attention_spmd,
+    # whose custom_partitioning rule shards the packed bh dim so the fused
+    # kernel stays engaged per-shard under a GSPMD mesh.
     fused_decode: bool = True
+    decode_spmd: bool = False
 
     @nn.compact
     def __call__(
@@ -127,12 +130,17 @@ class GPT2Block(nn.Module):
             if t == 1:
                 # single-token decode: fused row-update + attention in ONE
                 # HBM pass (Pallas kernel on TPU; the packed-layout XLA
-                # einsum elsewhere — and under a GSPMD mesh, where a manual-
-                # DMA pallas_call has no partitioning rule: fused_decode
-                # False). Rows beyond cache_index are masked inside the op,
-                # so attn_mask is not consulted here.
-                att = (decode_attention if self.fused_decode
-                       else decode_attention_reference)
+                # einsum elsewhere). Under a GSPMD mesh, decode_spmd routes
+                # through the custom_partitioning wrapper so the kernel runs
+                # per-shard on the head-sharded cache. Rows beyond
+                # cache_index are masked inside the op, so attn_mask is not
+                # consulted here.
+                if self.decode_spmd:
+                    att = decode_attention_spmd
+                elif self.fused_decode:
+                    att = decode_attention
+                else:
+                    att = decode_attention_reference
                 qp = jnp.transpose(q[:, 0], (2, 1, 0)).reshape(dk, h * b)
                 out, ck, cv = att(qp, kp, vp, ck, cv, cache_index)
                 attn = jnp.transpose(out.reshape(dk, h, b), (2, 1, 0))
@@ -201,6 +209,7 @@ class GPT2Stack(nn.Module):
     attn_dropout: Optional[float] = None
     flash_causal: bool = False
     fused_decode: bool = True
+    decode_spmd: bool = False
 
     @nn.compact
     def __call__(self, emb, attn_mask=None, cache: Optional[KVCache] = None,
@@ -219,7 +228,7 @@ class GPT2Stack(nn.Module):
             layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
             x, nc = block_cls(self.dim, self.heads, self.dropout, self.dtype,
                               self.attn_dropout, self.flash_causal,
-                              self.fused_decode)(
+                              self.fused_decode, self.decode_spmd)(
                 x, attn_mask, layer_cache, cache_index, deterministic, causal
             )
             if nc is not None:
@@ -299,7 +308,8 @@ class UnifiedVoice(nn.Module):
                              dtype=self.dtype, remat=c.checkpointing,
                              attn_dropout=c.attn_dropout,
                              flash_causal=c.flash_attention,
-                             fused_decode=c.fused_decode)
+                             fused_decode=c.fused_decode,
+                             decode_spmd=c.decode_spmd)
         self.final_norm = nn.LayerNorm(epsilon=1e-5)
         self.text_head = nn.Dense(c.number_text_tokens + 1)
         self.mel_head = nn.Dense(c.number_mel_codes)
@@ -457,6 +467,7 @@ def inference_speech(
     max_generate_length: int,
     sampling: SamplingParams = SamplingParams(),
     early_stop: bool = True,
+    tp_shards: int = 1,
 ):
     """Autoregressive mel-code generation as one compiled loop.
 
@@ -479,13 +490,19 @@ def inference_speech(
     #    (decode is cache-bandwidth-bound; at B=8,H=8 the padded kernel still
     #    measures ~2.5× faster than the un-padded XLA fallback). Padded rows
     #    start `done`, so they emit stop tokens and never delay early exit.
+    # `tp_shards` (> 1 when serving with decode_spmd under a TP mesh) scales
+    # the lane-alignment requirement: each shard holds heads*B/tp columns of
+    # the packed cache, and the kernel engages per-shard only when THAT is a
+    # multiple of 128.
     pad_b = 0
-    if c.fused_decode and jax.default_backend() == "tpu":
+    tp = max(1, int(tp_shards))
+    if (c.fused_decode or c.decode_spmd) and jax.default_backend() == "tpu":
         max_len = -(-max_len // 128) * 128
-        for pad_b in range(b + 1):  # at most DOUBLE the batch — a tiny batch
-            if (c.heads * (b + pad_b)) % 128 == 0:  # on a small model would
-                break                               # otherwise pad 16×+ for
-        else:                                       # a bandwidth-bound op
+        lanes = 128 * tp
+        for pad_b in range(tp * b + 1):  # bounded padding — a tiny batch on
+            if (c.heads * (b + pad_b)) % lanes == 0:  # a small model would
+                break                                 # otherwise pad 16×+ for
+        else:                                         # a bandwidth-bound op
             pad_b = 0
     if pad_b:
         text_inputs = jnp.concatenate(

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "decode_attention",
     "decode_attention_reference",
+    "decode_attention_spmd",
     "fused_decode_attention",
 ]
 
@@ -237,3 +238,73 @@ def decode_attention(q, uk, uv, k_cache, v_cache, pos, *, blk=128):
             return fused_decode_attention(
                 q, uk, uv, k_cache, v_cache, pos, blk=chosen)
     return decode_attention_reference(q, uk, uv, k_cache, v_cache, pos)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD/Shardy partitioning: fused decode under a device mesh
+# ---------------------------------------------------------------------------
+#
+# A manual-DMA pallas_call has no partitioning rule, so a bare
+# fused_decode_attention under a GSPMD mesh forces a full all-gather (or an
+# error). The packed cache layout was designed for exactly this moment: the
+# minor dim flattens (head, batch) HEAD-major, so tensor-parallel HEAD
+# sharding is a CONTIGUOUS chunk of the minor dim — i.e. plain dim-sharding
+# the partitioner can express. decode_attention_spmd registers that rule via
+# jax.experimental.custom_partitioning: every operand/result may shard ONLY
+# along the packed bh dim (factor `x` below); time, head_dim, and pos must
+# replicate. Each shard then runs the ordinary dispatcher on its LOCAL
+# (ml, dk, bh/n) block — the fused kernel when the local shape still
+# qualifies (bh/n a lane multiple; the serving loop pads the batch for the
+# shard count, models/gpt.py inference_speech), the XLA formulation
+# otherwise. Per-(head,batch) columns are independent, so no collective is
+# needed inside the op.
+
+
+def _spmd_lower(pos, q, uk, uv, kc, vc):
+    out, k2, v2 = decode_attention(q, uk, uv, kc, vc, pos[0])
+    return out, k2, v2
+
+
+def _spmd_partition(mesh, arg_shapes, result_shape):
+    # shardings arrive already constrained by the sharding rule (only the
+    # packed bh factor may be sharded) — pass them through and lower to the
+    # per-shard dispatcher.
+    arg_shardings = jax.tree.map(lambda x: x.sharding, arg_shapes)
+    result_shardings = jax.tree.map(lambda x: x.sharding, result_shape)
+    return mesh, _spmd_lower, result_shardings, arg_shardings
+
+
+def _spmd_infer(mesh, arg_shapes, result_shape):
+    # GSPMD (non-shardy) path: results inherit the caches' minor-dim sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kc_sh = arg_shapes[4].sharding
+    spec = getattr(kc_sh, "spec", None)
+    x = spec[2] if spec is not None and len(spec) > 2 else None
+    m = getattr(kc_sh, "mesh", mesh)
+    return (NamedSharding(m, P(None, x)),
+            NamedSharding(m, P(None, None, x)),
+            NamedSharding(m, P(None, None, x)))
+
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning as _custom_partitioning,
+)
+
+_decode_attention_spmd = _custom_partitioning(_spmd_lower)
+_decode_attention_spmd.def_partition(
+    _spmd_partition,
+    infer_sharding_from_operands=_spmd_infer,
+    # p: pos row; u/w: the singleton update-row dims; m/n: cache time; d:
+    # head_dim; x: packed head*batch — the ONLY shardable factor
+    sharding_rule="p, d x, u d x, w d x, m d x, n d x -> d x, m d x, n d x",
+    need_replication_factors=("p", "d", "u", "w", "m", "n"),
+)
+
+
+def decode_attention_spmd(q, uk, uv, k_cache, v_cache, pos):
+    """decode_attention with a mesh partitioning rule (shard along the packed
+    head-major bh dim only). Use for serving under a GSPMD mesh; numerically
+    identical to decode_attention / decode_attention_reference."""
+    pos = jnp.asarray(pos, jnp.int32).reshape(1)
+    return _decode_attention_spmd(pos, q, uk, uv, k_cache, v_cache)
