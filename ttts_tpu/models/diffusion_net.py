@@ -154,6 +154,15 @@ class AttentionBlock(nn.Module):
     # HBM. Used on the per-step trunk path (T is a multiple of 128 there);
     # when flash is set, a precomputed rel_bias is the (H, 2T−1) STRIP.
     flash: bool = False
+    # sequence parallelism (SURVEY §5.7): shard the time axis over
+    # `sp_axis` of `sp_mesh` and run ring attention (parallel/
+    # ring_attention.py) — exact attention with O(T/n · T/n) scores per
+    # chip, for the T≥4k long-utterance shapes the flash kernel's VMEM
+    # bound can't hold. The rel-pos bias rides along in Toeplitz-strip
+    # form; each hop gathers its local diagonal window, so the (T, T)
+    # bias never materializes either.
+    sp_mesh: Any = None
+    sp_axis: str = "sp"
 
     def setup(self):
         c = self.channels
@@ -167,8 +176,15 @@ class AttentionBlock(nn.Module):
     def rel_bias(self, t: int, b: int = 1):
         if not self.relative_pos_embeddings:
             return None
-        return (self.relpos.strip(t) if self._use_flash(t, b)
+        return (self.relpos.strip(t)
+                if (self._use_ring(t) or self._use_flash(t, b))
                 else self.relpos.bias(t, t))
+
+    def _use_ring(self, t: int) -> bool:
+        if self.sp_mesh is None:
+            return False
+        n = self.sp_mesh.shape[self.sp_axis]
+        return n > 1 and t % n == 0
 
     def _use_flash(self, t: int, b: int = 1) -> bool:
         # measured on v5e at the trunk shape (H=16, D=32): single-stream,
@@ -193,6 +209,20 @@ class AttentionBlock(nn.Module):
         # legacy layout: per head, [q;k;v] channels (utils.py:155)
         qkv = qkv.reshape(b, t, h, 3 * dk)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self._use_ring(t):
+            from ttts_tpu.parallel.ring_attention import make_ring_attention
+
+            strip = rel_bias
+            if strip is None and self.relative_pos_embeddings:
+                strip = self.relpos.strip(t)
+            assert strip is None or strip.ndim == 2, (
+                "sequence-parallel attention needs the strip-form bias "
+                "(rel_bias(t) returns it when sp_mesh is set)")
+            ring = make_ring_attention(
+                self.sp_mesh, self.sp_axis, causal=False,
+                with_bias=strip is not None, scale=1.0 / math.sqrt(dk))
+            a = ring(q, k, v, strip) if strip is not None else ring(q, k, v)
+            return x + self.proj(a.reshape(b, t, c))
         # a precomputed bias pins the path: (H, 2T−1) strip → flash kernel,
         # (H, T, T) full → XLA einsum (no gate-consistency trap between
         # rel_bias() precompute time and call time)
@@ -254,13 +284,16 @@ class DiffusionLayer(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     flash: bool = False
+    sp_mesh: Any = None
+    sp_axis: str = "sp"
 
     def setup(self):
         self.resblk = ScaleShiftResBlock(self.channels, self.channels,
                                          self.channels, self.dropout,
                                          dtype=self.dtype)
         self.attn = AttentionBlock(self.channels, self.num_heads, dtype=self.dtype,
-                                   flash=self.flash)
+                                   flash=self.flash, sp_mesh=self.sp_mesh,
+                                   sp_axis=self.sp_axis)
 
     def __call__(self, x, time_emb, deterministic=True, rel_bias=None):
         y = self.resblk(x, time_emb, deterministic)
@@ -311,6 +344,12 @@ class AA_diffusion(nn.Module):
     # layers, which run at out_len — a multiple of 128). The once-per-
     # utterance conditioning encoders keep the XLA path (arbitrary lengths).
     flash: bool = False
+    # sequence parallelism for the per-step path (SURVEY §5.7): shard the
+    # output time axis over sp_axis of sp_mesh and run ring attention in the
+    # integrator + trunk layers. For long utterances (T≥4k) whose (B,H,T,T)
+    # scores exceed HBM/VMEM bounds on one chip.
+    sp_mesh: Any = None
+    sp_axis: str = "sp"
 
     def setup(self):
         c = self.cfg
@@ -329,7 +368,8 @@ class AA_diffusion(nn.Module):
         )
         self.conditioning_timestep_integrator = [
             DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype,
-                           flash=self.flash)
+                           flash=self.flash, sp_mesh=self.sp_mesh,
+                           sp_axis=self.sp_axis)
             for _ in range(3)
         ]
         self.refer_conv = nn.Conv(ch, (3,), padding="SAME")
@@ -338,7 +378,8 @@ class AA_diffusion(nn.Module):
         self.integrating_conv = nn.Dense(ch)
         self.layers = [
             DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype,
-                           flash=self.flash)
+                           flash=self.flash, sp_mesh=self.sp_mesh,
+                           sp_axis=self.sp_axis)
             for _ in range(c.num_layers)
         ] + [
             ScaleShiftResBlock(ch, ch, ch, c.dropout, dtype=self.dtype)
@@ -419,14 +460,16 @@ class AA_diffusion(nn.Module):
         return self.out_conv(x)
 
     def __call__(self, x, timesteps, latent=None, refer=None,
-                 conditioning_free: bool = False, train: bool = False):
+                 conditioning_free: bool = False, train: bool = False,
+                 unconditioned_percentage: float = 0.1):
         """Reference-parity entry (aa_model.py:260-289)."""
         if conditioning_free:
             cond = jnp.tile(self.unconditioned_embedding, (x.shape[0], x.shape[1], 1))
         else:
             uncond_key = self.make_rng("uncond") if train else None
             cond = self.timestep_independent(
-                latent, refer, x.shape[1], train=train, uncond_key=uncond_key
+                latent, refer, x.shape[1], train=train, uncond_key=uncond_key,
+                unconditioned_percentage=unconditioned_percentage,
             )
         ld_key = self.make_rng("layerdrop") if train and self.cfg.layer_drop > 0 else None
         return self.trunk(x, timesteps, cond, train=train, layerdrop_key=ld_key)

@@ -38,17 +38,26 @@ def ring_attention(
     axis_size: int,
     causal: bool = False,
     scale: Optional[float] = None,
+    bias_strip: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-shard bodies get local blocks q/k/v: (B, T_local, H, D).
 
     Returns the exact attention output for the local query block against the
     FULL (global) key/value sequence.
+
+    `bias_strip` (H, 2·T_global−1), replicated: a Toeplitz relative-position
+    bias in strip form — bias[h, i, j] = strip[h, j−i+T_global−1], the same
+    form the Pallas flash kernel consumes (models/diffusion_net.py
+    RelativePositionBias.strip). Added to the SCALED scores, matching the
+    AttentionBlock einsum convention; each ring hop gathers only its local
+    (Tq, Tk) window of diagonals, so the full (T, T) bias never materializes.
     """
     b, t_local, h, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     my_idx = lax.axis_index(axis_name)
 
     q_pos = my_idx * t_local + jnp.arange(t_local)  # global query positions
+    t_global = axis_size * t_local
 
     # masked scores are -inf (NOT finfo.min) so the fully-masked-block guards
     # below — jnp.isfinite — actually distinguish masked from valid entries
@@ -63,6 +72,9 @@ def ring_attention(
         k_pos = src * t_local + jnp.arange(t_local)
 
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cur).astype(jnp.float32) * scale
+        if bias_strip is not None:
+            rel = k_pos[None, :] - q_pos[:, None] + (t_global - 1)  # (Tq, Tk)
+            s = s + bias_strip.astype(jnp.float32)[:, rel][None]
         if causal:
             mask = q_pos[:, None] >= k_pos[None, :]
             s = jnp.where(mask[None, None], s, neg)
@@ -98,15 +110,31 @@ def ring_attention(
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)  # (B, Tq, H, D)
 
 
-def make_ring_attention(mesh, axis_name: str = "sp", causal: bool = False):
+def make_ring_attention(mesh, axis_name: str = "sp", causal: bool = False,
+                        with_bias: bool = False, scale: Optional[float] = None):
     """shard_map-wrapped ring attention over `axis_name` of `mesh`; inputs
-    (B, T, H, D) with T divisible by the axis size."""
+    (B, T, H, D) with T divisible by the axis size. With `with_bias` the
+    wrapped fn takes a fourth operand: the replicated (H, 2T−1) Toeplitz
+    bias strip (see ring_attention)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     n = mesh.shape[axis_name]
-    fn = functools.partial(
-        ring_attention, axis_name=axis_name, axis_size=n, causal=causal
-    )
     spec = P(None, axis_name, None, None)
+    if with_bias:
+        fn = functools.partial(
+            ring_attention, axis_name=axis_name, axis_size=n, causal=causal,
+            scale=scale,
+        )
+
+        def with_strip(q, k, v, strip):
+            return fn(q, k, v, bias_strip=strip)
+
+        return shard_map(with_strip, mesh=mesh,
+                         in_specs=(spec, spec, spec, P(None, None)),
+                         out_specs=spec)
+    fn = functools.partial(
+        ring_attention, axis_name=axis_name, axis_size=n, causal=causal,
+        scale=scale,
+    )
     return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
