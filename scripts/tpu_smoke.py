@@ -10,6 +10,8 @@ it is how the pallas_call-has-no-JVP crash (quantize.py:146) was found.
 usage:  timeout 1500 python scripts/tpu_smoke.py      # ~8-10 min of compiles
         python scripts/tpu_smoke.py --only serving    # substring stage filter
         python scripts/tpu_smoke.py --recipe          # adds the 5-stage CLI recipe
+        python scripts/tpu_smoke.py --converge        # adds the convergence replays
+                                                      # (tests/test_convergence.py on chip)
 Prints one PASS/FAIL line per surface (SKIP for filtered-out stages); exits
 nonzero on any failure. Under tunnel load a full run can exceed 25 min —
 use --only to re-verify just the touched surface.
@@ -317,6 +319,32 @@ def main():
                 assert np.isfinite(out["wav"]).all()
 
         check("five_stage_recipe(cli-train->serve)", recipe)
+
+    # ---- convergence replays on the chip (tests/test_convergence.py runners;
+    # --converge flag: each is a few hundred jitted-scan steps, ~1 dispatch
+    # per family but real compile time) ------------------------------------
+    if "--converge" in sys.argv:
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+        import test_convergence as tc
+
+        def _conv(name, runner, ok):
+            def run():
+                r = runner()
+                print(f"  {name}: {r}", flush=True)
+                assert ok(r), r
+
+            check(f"converge_{name}", run)
+
+        _conv("gpt", tc.converge_gpt, lambda r: r["mel_ce_final"] < 0.15)
+        _conv("clvp", tc.converge_clvp, lambda r: r["loss_final"] < 0.3)
+        _conv("classifier", tc.converge_classifier,
+              lambda r: r["loss_final"] < 0.2)
+        _conv("vqvae", tc.converge_vqvae,
+              lambda r: (r["mel_l1_final"] < r["mel_l1_start"] * 0.7
+                         and r["snr_db_final"] > r["snr_db_step0"] + 1.0))
+        _conv("diffusion", tc.converge_diffusion,
+              lambda r: (r["loss_final"] < r["loss_start"] * 0.7
+                         and r["sample_mse_final"] < r["sample_mse_step0"] * 0.8))
 
     print(("ALL PASS" if not failures else f"FAILURES: {failures}"), flush=True)
     return 1 if failures else 0

@@ -133,6 +133,7 @@ def diffusion_train_step(state: TrainState, batch, key, model, diffuser,
             return model.apply(
                 params, x, t_in, latent, refer,
                 conditioning_free=conditioning_free, train=True,
+                unconditioned_percentage=unconditioned_percentage,
                 rngs={"uncond": k_uncond, "layerdrop": k_ld, "dropout": k_drop},
             )
 
