@@ -3,9 +3,9 @@
 The AA_diffusion trunk runs 9 rel-pos attention blocks per denoiser forward ×
 50 DPM++ steps (utils.AttentionBlock:172-215 semantics); the naive XLA path
 materializes (B, H, T, T) score tensors in HBM every call. This kernel tiles
-queries (blk rows at a time), keeps the K/V panels for ALL heads of one batch
-row in VMEM, and loops heads inside the program — scores never leave VMEM and
-q/k/v are touched exactly once in HBM.
+queries (blk rows at a time) over a (batch, head, query-block) grid, keeps
+one head's (T, D) K/V panels in VMEM per program — scores never leave VMEM
+and q/k/v are touched exactly once per (batch, head) in HBM.
 
 The rel-pos bias matrix is Toeplitz — bias[h, i, j] = strip[h, j−i+T−1] where
 strip is the (H, 2T−1) diagonal table (models/diffusion_net.py
@@ -14,8 +14,9 @@ RelativePositionBias). The kernel slices the per-block diagonal window
 rotate — no (T, T) bias tensor exists anywhere.
 
 Constraints: T % blk == 0 (callers' shape buckets are multiples of 128);
-K/V panels for one batch row must fit VMEM (T·H·D ≲ 2M elements). Forward
-only — the sampling path never differentiates; training keeps the XLA path.
+the (blk, T) f32 score tile plus two (blk, T+blk) Toeplitz temporaries must
+fit the 16 MiB scoped-VMEM stack (T ≲ 8k at blk=128). Forward only — the
+sampling path never differentiates; training keeps the XLA path.
 """
 
 from __future__ import annotations
@@ -43,36 +44,45 @@ def _toeplitz_tile(window: jax.Array, blk: int, t: int) -> jax.Array:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, strip_ref, o_ref, *, scale: float,
-                  t: int, blk: int, heads: int, causal: bool, has_bias: bool):
-    i0 = pl.program_id(1) * blk
+                  t: int, blk: int, causal: bool, has_bias: bool):
+    """One (batch row, head, query block) program.
 
-    if causal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (blk, t), 0) + i0
-        cols = jax.lax.broadcasted_iota(jnp.int32, (blk, t), 1)
-        causal_mask = cols <= rows
+    Heads ride the GRID, not a Python loop: an unrolled in-kernel head loop
+    keeps every head's (blk, T) f32 score tile live on the Mosaic stack at
+    once (16 heads × blk=256 × T=768 blew the 16 MiB scoped-VMEM limit by
+    0.5 M), whereas one-head programs keep exactly one. K/V panels are
+    (T, D) per program and Mosaic's pipeline skips the re-fetch while the
+    head index is unchanged."""
+    i0 = pl.program_id(2) * blk
 
+    q = q_ref[0, 0]  # (blk, D)
+    k = k_ref[0, 0]  # (T, D)
+    # fold the softmax scale into the (blk, D) q tile — T/D ≈ 24× fewer
+    # multiplies than scaling the (blk, T) score tile (costs one bf16
+    # rounding of q, same as the einsum path's q·dk^-¼ pre-scaling)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     if has_bias:
         # diagonal window for rows [i0, i0+blk): strip indices
         # j − (i0+r) + T − 1 ∈ [T−blk−i0, 2T−2−i0]; the start is a multiple
         # of blk (T ≡ 0 mod blk), so the slice stays lane-aligned.
         start = pl.multiple_of(t - blk - i0, blk)
-        windows = strip_ref[:, pl.ds(start, t + blk)]  # (H, L)
-
-    for h in range(heads):  # unrolled; all heads share this program's panels
-        q = q_ref[0, h]  # (blk, D)
-        k = k_ref[0, h]  # (T, D)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        if has_bias:
-            s = s + _toeplitz_tile(windows[h], blk, t)
-        if causal:
-            s = jnp.where(causal_mask, s, jnp.finfo(jnp.float32).min)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, h]
-        o_ref[0, h] = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        window = strip_ref[0, 0, pl.ds(start, t + blk)]  # (L,)
+        s = s + _toeplitz_tile(window, blk, t)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (blk, t), 0) + i0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (blk, t), 1)
+        s = jnp.where(cols <= rows, s, jnp.finfo(jnp.float32).min)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0]
+    # normalize AFTER the PV dot: divide the (blk, D) output instead of
+    # the (blk, T) probabilities — T/D ≈ 24× fewer VPU divides at the
+    # trunk shape; measured 0.513 → 0.330 ms at (8, 768, 16, 32)
+    # (scripts/bench_trunk_attention.py), identical to bf16 rounding.
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -86,46 +96,24 @@ def flash_attention(
     strip: jax.Array | None = None,
     scale: float | None = None,
     causal: bool = False,
-    blk: int = 128,
+    blk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """q, k, v: (B, T, H, D); strip: (H, 2T−1) additive Toeplitz bias or None.
-    Returns (B, T, H, D). Requires T % blk == 0."""
+    Returns (B, T, H, D). Requires T % blk == 0 and blk % 128 == 0 (the
+    strip window slice must stay lane-aligned; 448 fails Mosaic's proof).
+
+    blk=None → 128: measured best on v5e at the trunk shape (H=16, D=32)
+    with the per-(batch,head) grid — 0.24 ms vs 0.41 (blk=256) / 0.29
+    (blk=384) at (8, 768), amort-64 slopes (scripts/bench_trunk_attention
+    .py); larger tiles lose to pipeline bubbles once the per-program VMEM
+    working set grows."""
     b, t, h, d = q.shape
+    if blk is None:
+        blk = 128
     assert t % blk == 0, f"T={t} must be a multiple of blk={blk}"
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-
-    # XLA promotes custom-call results/operands into scoped VMEM; past the
-    # ~16 MB scoped limit that promotion fails AT COMPILE TIME (observed at
-    # B=8, T=1024, H=16, D=32: "scoped allocation 36.00M exceeded limit
-    # 16.00M"). Batch rows are independent, so run oversize batches through
-    # a lax.map over row chunks — the loop's dynamic-update-slice keeps one
-    # HBM output buffer and only a small chunk ever lives in scoped VMEM
-    # (a python-loop + concatenate variant still OOM'd: all chunk results
-    # were co-resident for the concat).
-    row_bytes = t * h * d * 4
-    rows_per_call = max(1, (3 * 1024 * 1024) // row_bytes)
-    if b > rows_per_call:
-        rpc = 1 << (rows_per_call.bit_length() - 1)  # pow2 so it divides b
-        if b % rpc == 0:
-            qs = q.reshape(b // rpc, rpc, t, h, d)
-            ks = k.reshape(b // rpc, rpc, t, h, d)
-            vs = v.reshape(b // rpc, rpc, t, h, d)
-            out = jax.lax.map(
-                lambda args: flash_attention(
-                    args[0], args[1], args[2], strip=strip, scale=scale,
-                    causal=causal, blk=blk, interpret=interpret),
-                (qs, ks, vs),
-            )
-            return out.reshape(b, t, h, d)
-        outs = [
-            flash_attention(q[i : i + rpc], k[i : i + rpc], v[i : i + rpc],
-                            strip=strip, scale=scale, causal=causal, blk=blk,
-                            interpret=interpret)
-            for i in range(0, b, rpc)
-        ]
-        return jnp.concatenate(outs, axis=0)
 
     has_bias = strip is not None
     # (B, H, T, D) layout: heads ride the leading dims so per-head reads and
@@ -134,33 +122,46 @@ def flash_attention(
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     inputs = [qt, kt, vt]
+    # grid = (batch, head, query block): per-program VMEM is one head's
+    # (T, D) K/V panels + one (blk, T) f32 score tile, so no batch chunking
+    # or scoped-VMEM gymnastics are needed at any serving batch size (an
+    # earlier all-heads-per-program layout needed a lax.map over row chunks
+    # past B·T·H·D ≈ 3 M elements and still hit the 16 MiB stack limit at
+    # blk=256 — see the kernel docstring).
     in_specs = [
-        pl.BlockSpec((1, h, blk, d), lambda bb, ii: (bb, 0, ii, 0),
+        pl.BlockSpec((1, 1, blk, d), lambda bb, hh, ii: (bb, hh, ii, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, t, d), lambda bb, ii: (bb, 0, 0, 0),
+        pl.BlockSpec((1, 1, t, d), lambda bb, hh, ii: (bb, hh, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, t, d), lambda bb, ii: (bb, 0, 0, 0),
+        pl.BlockSpec((1, 1, t, d), lambda bb, hh, ii: (bb, hh, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if has_bias:
-        # pad so every block's (t+blk)-wide window stays in bounds
+        # pad so every block's (t+blk)-wide window stays in bounds; the
+        # singleton middle axis makes the per-head block's trailing two dims
+        # (1, L) legal under Mosaic's sublane rule (a (1, L) block of a
+        # (H, L) array is not — block dim 1 of array dim 16 is neither a
+        # multiple of 8 nor the full dim)
         pad = 2 * t + blk - strip.shape[1]
         strip_p = jnp.pad(strip, ((0, 0), (0, pad))).astype(jnp.float32)
+        strip_p = strip_p[:, None, :]  # (H, 1, L)
         inputs.append(strip_p)
         in_specs.append(
-            pl.BlockSpec(strip_p.shape, lambda bb, ii: (0, 0),
+            pl.BlockSpec((1, 1, strip_p.shape[2]),
+                         lambda bb, hh, ii: (hh, 0, 0),
                          memory_space=pltpu.VMEM)
         )
 
     kernel = functools.partial(
         _flash_kernel if has_bias else _flash_kernel_nobias,
-        scale=scale, t=t, blk=blk, heads=h, causal=causal, has_bias=has_bias,
+        scale=scale, t=t, blk=blk, causal=causal, has_bias=has_bias,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, t // blk),
+        grid=(b, h, t // blk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, blk, d), lambda bb, ii: (bb, 0, ii, 0),
+        out_specs=pl.BlockSpec((1, 1, blk, d),
+                               lambda bb, hh, ii: (bb, hh, ii, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         interpret=interpret,
