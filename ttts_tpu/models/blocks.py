@@ -332,6 +332,9 @@ class RelPosMultiHeadAttention(nn.Module):
     # score scale; None → 1/sqrt(d_k) (attentions.py:248). MelStyleEncoder's
     # attention divides by sqrt(d_model) instead (modules.py:620-621).
     qk_scale: Optional[float] = None
+    # −log1p(|i−j|) additive proximity bias (attentions.py:356-365,
+    # _attention_bias_proximal); self-attention only. Used by FFT.
+    proximal_bias: bool = False
 
     @nn.compact
     def __call__(self, x, c, attn_mask=None, deterministic=True):
@@ -366,6 +369,12 @@ class RelPosMultiHeadAttention(nn.Module):
             rel_k = _get_rel_embeddings(emb_k, t_t, self.window_size)
             rel_logits = jnp.einsum("bhld,xmd->bhlm", qh / math.sqrt(dk), rel_k)
             scores = scores + _rel_to_abs(rel_logits)
+        if self.proximal_bias:
+            assert t_s == t_t, "proximal bias is self-attention only"
+            r = jnp.arange(t_t)
+            scores = scores + (
+                -jnp.log1p(jnp.abs(r[None, :] - r[:, None]))
+            )[None, None].astype(scores.dtype)
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
         p = jax.nn.softmax(scores, axis=-1)

@@ -603,3 +603,84 @@ def port_rvq1_state(state_dict: Dict[str, "np.ndarray"], wn_layers: int = 16,
         inited=np.asarray(sd[cb + ".inited"]).reshape(()).astype(bool),
     )
     return {"params": params, "codebook": {"quantizer": {"state": state}}}
+
+
+# ---------------------------------------------------------------------------
+# attentions.py stragglers (FFT / TransformerCouplingLayer / depthwise convs)
+# → models/attentions_extras.py
+# ---------------------------------------------------------------------------
+
+
+def port_fft_state(state_dict: Dict[str, "np.ndarray"], n_layers: int,
+                   isflow: bool = False) -> Dict:
+    """attentions.FFT:558-647 → attentions_extras.FFT params."""
+    sd = state_dict
+    out: Dict = {}
+    base = 0
+    if isflow:
+        out["Conv1d_0"] = _conv(sd, "cond_layer")
+        out["cond_pre"] = _conv(sd, "cond_pre")
+        base = 1
+    for i in range(n_layers):
+        out[f"RelPosMultiHeadAttention_{i}"] = _vits_mha(
+            sd, f"self_attn_layers.{i}")
+        out[f"LayerNorm_{2 * i}"] = _layernorm(sd, f"norm_layers_0.{i}")
+        out[f"Conv1d_{base + 2 * i}"] = _conv(sd, f"ffn_layers.{i}.conv_1")
+        out[f"Conv1d_{base + 2 * i + 1}"] = _conv(sd, f"ffn_layers.{i}.conv_2")
+        out[f"LayerNorm_{2 * i + 1}"] = _layernorm(sd, f"norm_layers_1.{i}")
+    return out
+
+
+def _flow_encoder(sd: Dict, p: str, n_layers: int) -> Dict:
+    """attentions.Encoder(isflow=True) → attentions_extras.FlowConditionedEncoder."""
+    out: Dict = {
+        "Conv1d_0": _conv(sd, p + ".cond_layer"),
+        "cond_pre": _conv(sd, p + ".cond_pre"),
+    }
+    for i in range(n_layers):
+        out[f"RelPosMultiHeadAttention_{i}"] = _vits_mha(
+            sd, f"{p}.attn_layers.{i}", windowed=True)
+        out[f"LayerNorm_{2 * i}"] = _layernorm(sd, f"{p}.norm_layers_1.{i}")
+        out[f"ConvFFN_{i}"] = {
+            "Conv1d_0": _conv(sd, f"{p}.ffn_layers.{i}.conv_1"),
+            "Conv1d_1": _conv(sd, f"{p}.ffn_layers.{i}.conv_2"),
+        }
+        out[f"LayerNorm_{2 * i + 1}"] = _layernorm(sd, f"{p}.norm_layers_2.{i}")
+    return out
+
+
+def port_transformer_coupling_state(state_dict: Dict[str, "np.ndarray"],
+                                    n_layers: int) -> Dict:
+    """attentions.TransformerCouplingLayer:648-708 →
+    attentions_extras.TransformerCouplingLayer params."""
+    sd = state_dict
+    return {
+        "Conv1d_0": _conv(sd, "pre"),
+        "FlowConditionedEncoder_0": _flow_encoder(sd, "enc", n_layers),
+        "post": {
+            "kernel": _t_conv(np.asarray(sd["post.weight"])),
+            "bias": np.asarray(sd["post.bias"]),
+        },
+    }
+
+
+def port_depthwise_separable_conv_state(state_dict: Dict[str, "np.ndarray"],
+                                        transpose: bool = False) -> Dict:
+    """attentions.Depthwise_Separable_{Conv1D,TransposeConv1D}:439-537 →
+    attentions_extras params. For the transpose variant the depthwise
+    torch weight (C, 1, K) maps onto depth_kernel (K, 1, C)."""
+    sd = state_dict
+    if not transpose:
+        return {
+            "Conv1d_0": _conv(sd, "depth_conv"),
+            "Conv1d_1": _conv(sd, "point_conv"),
+        }
+    v, g = _conv_wg(sd, "depth_conv")
+    if g is not None:  # fuse torch's per-input-channel WN (dim 0)
+        norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))
+        v = g * v / np.maximum(norm, 1e-12)
+    out: Dict = {"depth_kernel": np.transpose(v, (2, 1, 0))}
+    if "depth_conv.bias" in sd:
+        out["depth_bias"] = np.asarray(sd["depth_conv.bias"])
+    out["Conv1d_0"] = _conv(sd, "point_conv")
+    return out
