@@ -224,6 +224,33 @@ def bench_all():
                          "_device rows are the amortized slope of 8 applies "
                          "in one program"})
 
+    # ---- config 4c: BATCHED diffusion(50) + vocos at FIXED shapes ----------
+    # the deterministic-shape version of config 5c's tail: generated lengths
+    # in the 5x rows are a sampling lottery under random weights (a ±1-bf16-
+    # ulp numeric change upstream flips sampled tokens and so audio_s), so
+    # this row is the round-over-round comparator for tail/trunk perf.
+    # 4 streams × CFG 2B → trunk batch 8 at T=896 — the Pallas flash-trunk
+    # path (diffusion_net._use_flash: b·t ≥ 4096).
+    bucket4c = 224
+    out4c = bucket4c * 4              # 896 frames = 9.557 s per stream
+    lat4c = jnp.asarray(rng.standard_normal(
+        (4, bucket4c, tts.cfg.diffusion_net.in_latent_channels)).astype(np.float32))
+    refer4c = jnp.asarray(rng.standard_normal((4, 188, 100)).astype(np.float32))
+    audio4c = out4c * tts.cfg.vocos.hop_length / 24000.0 * 4
+
+    def diff_vocos4c():
+        mel = tts._diffusion_decode(lat4c, refer4c, jax.random.key(2), 50, out4c)
+        return np.asarray(tts._vocode(mel))
+
+    dt4c = _timeit(diff_vocos4c, iters=3)
+    rows.append({"config": "4c_batched_tail_fixed", "streams": 4,
+                 "wall_s": round(dt4c, 4), "audio_s": round(audio4c, 3),
+                 "audio_sec_per_sec": round(audio4c / dt4c, 1),
+                 "mfu_est": round(2 * n_params["diffusion"] * out4c * 4 * 2
+                                  * 50 / dt4c / V5E_PEAK_FLOPS, 4),
+                 "note": "4-stream diffusion(50)+Vocos at fixed T=896 — "
+                         "deterministic-shape tail of 5c (flash trunk path)"})
+
     # ---- config 5: full serving pipeline (headline, reference defaults) ----
     text = "ni3 hao3 shi4 jie4 jin1 tian1 tian1 qi4 zhen1 hao3 wo3 men5 chu1 qu4 wan2"
 

@@ -187,15 +187,17 @@ class AttentionBlock(nn.Module):
         return n > 1 and t % n == 0
 
     def _use_flash(self, t: int, b: int = 1) -> bool:
-        # measured on v5e at the trunk shape (H=16, D=32): single-stream,
-        # XLA's fused attention beats the kernel below ~1.5k frames; BATCHED,
-        # the kernel wins much earlier (B=8: 1.6 vs 1.9 ms at T=512, 3.9 ms
-        # → OOM-free ~1.6 at T=1024) because the (B,H,T,T) score traffic
-        # scales with B while the kernel's VMEM-resident scores don't.
-        # upper bound: the kernel keeps one batch row's K/V panels resident
-        # in VMEM (attention.py docstring: T·H·dk = T·channels ≲ 2M elems);
-        # past that Mosaic fails at compile time, so reject here and fall
-        # back to the XLA einsum path (which will OOM gracefully instead).
+        # measured on v5e at the trunk shape (H=16, D=32), round-4 kernel
+        # (per-(batch,head) grid + div-after-PV, amort-64 slopes): BATCHED
+        # the kernel wins big (B=8, T=896: 0.35 vs 0.98 ms einsum, 2.8×);
+        # single-stream XLA's fused attention still wins small shapes
+        # (B=2, T=896: 0.090 vs 0.106; B=1: 0.063 vs 0.079) — the per-
+        # program pipeline overhead isn't amortized, so keep the einsum
+        # path below the b·t threshold. Upper bound: the per-program
+        # (blk, T) f32 score tile + two Toeplitz temporaries must fit the
+        # 16 MiB scoped-VMEM stack — t·channels ≲ 2M elems stays a safe
+        # proxy at channels=512; past it fall back to the XLA einsum path
+        # (ring attention covers the genuinely long shapes on a mesh).
         return (self.flash and t % 128 == 0
                 and (t >= 1536 or b * t >= 4096)
                 and t * self.channels <= 2_000_000
