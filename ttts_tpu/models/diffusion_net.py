@@ -195,12 +195,13 @@ class AttentionBlock(nn.Module):
         # program pipeline overhead isn't amortized, so keep the einsum
         # path below the b·t threshold. Upper bound: the per-program
         # (blk, T) f32 score tile + two Toeplitz temporaries must fit the
-        # 16 MiB scoped-VMEM stack — t·channels ≲ 2M elems stays a safe
-        # proxy at channels=512; past it fall back to the XLA einsum path
-        # (ring attention covers the genuinely long shapes on a mesh).
+        # 16 MiB scoped-VMEM stack — chip-verified finite through T=6144
+        # (the round-3 all-heads-resident kernel capped out near T≈3.9k);
+        # past it fall back to the XLA einsum path (ring attention covers
+        # the genuinely long shapes on a mesh).
         return (self.flash and t % 128 == 0
                 and (t >= 1536 or b * t >= 4096)
-                and t * self.channels <= 2_000_000
+                and t <= 6144
                 and jax.default_backend() not in ("cpu",))
 
     def __call__(self, x, rel_bias=None):
