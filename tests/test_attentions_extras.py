@@ -211,3 +211,34 @@ def test_tie_proximal_init():
     q = tied["Conv1d_0"]["Conv_0"]["kernel"]
     k = tied["Conv1d_1"]["Conv_0"]["kernel"]
     np.testing.assert_array_equal(np.asarray(q), np.asarray(k))
+
+
+def test_fft_tie_proximal_init():
+    """fft_tie_proximal_init ties EVERY attention layer's k to q — the
+    reference builds FFT's attentions with proximal_init=True
+    (attentions.py:648), so fresh-init training applies this once."""
+    from ttts_tpu.models.attentions_extras import FFT, fft_tie_proximal_init
+
+    m = FFT(hidden_channels=32, filter_channels=64, n_heads=2, n_layers=2)
+    x = jnp.ones((1, 8, 32))
+    mask = jnp.ones((1, 8, 1))
+    variables = m.init(jax.random.key(0), x, mask)
+    tied = fft_tie_proximal_init(variables)
+    names = [k for k in tied["params"]
+             if k.startswith("RelPosMultiHeadAttention")]
+    assert len(names) == 2
+    for n in names:
+        np.testing.assert_array_equal(
+            np.asarray(tied["params"][n]["Conv1d_1"]["Conv_0"]["kernel"]),
+            np.asarray(tied["params"][n]["Conv1d_0"]["Conv_0"]["kernel"]))
+        # fresh init starts untied (the helper is not a no-op)
+        assert not np.array_equal(
+            np.asarray(variables["params"][n]["Conv1d_1"]["Conv_0"]["kernel"]),
+            np.asarray(variables["params"][n]["Conv1d_0"]["Conv_0"]["kernel"]))
+    # bare-params form accepted too
+    bare = fft_tie_proximal_init(variables["params"])
+    np.testing.assert_array_equal(
+        np.asarray(bare[names[0]]["Conv1d_1"]["Conv_0"]["kernel"]),
+        np.asarray(bare[names[0]]["Conv1d_0"]["Conv_0"]["kernel"]))
+    out = m.apply(tied, x, mask)
+    assert np.isfinite(np.asarray(out)).all()

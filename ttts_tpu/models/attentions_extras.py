@@ -107,7 +107,11 @@ class FFT(nn.Module):
 
     proximal_init (tying conv_k to conv_q at initialization,
     attentions.py:306-310) is an *init-time* action with no forward-pass
-    analogue; use `tie_proximal_init` on the initialized params to match."""
+    analogue — and the reference constructs FFT's attentions with
+    proximal_init=True unconditionally (attentions.py:648). Fresh-init
+    TRAINING runs must therefore pass their `FFT.init` output through
+    `fft_tie_proximal_init` to match reference defaults (ported-weights
+    parity is unaffected; per-layer `tie_proximal_init` also works)."""
 
     hidden_channels: int
     filter_channels: int
@@ -262,3 +266,24 @@ def tie_proximal_init(mha_params: dict) -> dict:
     out["Conv1d_1"] = jax.tree_util.tree_map(lambda a: a,
                                              mha_params["Conv1d_0"])
     return out
+
+
+def fft_tie_proximal_init(variables: dict) -> dict:
+    """Apply proximal_init to EVERY attention layer of a fresh `FFT.init`
+    tree — the reference builds FFT's MultiHeadAttention with
+    proximal_init=True unconditionally (attentions.py:648), so fresh-init
+    training from reference defaults needs this applied once after init.
+
+    Accepts either the full `{'params': ...}` variables dict or the bare
+    params subtree; returns the same structure with each
+    RelPosMultiHeadAttention_* key projection tied to its query projection."""
+    inner = variables.get("params", variables)
+    tied = dict(inner)
+    for name, sub in inner.items():
+        if name.startswith("RelPosMultiHeadAttention"):
+            tied[name] = tie_proximal_init(sub)
+    if "params" in variables:
+        out = dict(variables)
+        out["params"] = tied
+        return out
+    return tied

@@ -112,6 +112,10 @@ def flash_attention(
     if blk is None:
         blk = 128
     assert t % blk == 0, f"T={t} must be a multiple of blk={blk}"
+    assert blk % 128 == 0, (
+        f"blk={blk} must be a multiple of 128 — the Toeplitz strip window "
+        "slice must stay lane-aligned (blk=64/448 fail Mosaic's proof with "
+        "an opaque lowering error)")
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 

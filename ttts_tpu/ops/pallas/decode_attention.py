@@ -266,11 +266,28 @@ def _spmd_lower(pos, q, uk, uv, kc, vc):
 
 
 def _spmd_partition(mesh, arg_shapes, result_shape):
-    # shardings arrive already constrained by the sharding rule (only the
-    # packed bh factor may be sharded) — pass them through and lower to the
-    # per-shard dispatcher.
-    arg_shardings = jax.tree.map(lambda x: x.sharding, arg_shapes)
-    result_shardings = jax.tree.map(lambda x: x.sharding, result_shape)
+    # On the Shardy path the sharding_rule below already constrains every
+    # factor except the packed bh dim to replicate. On the GSPMD path,
+    # however, infer_sharding_from_operands only pins RESULTS — an operand
+    # arriving sharded along time/dk would run the per-shard body on a
+    # timeline fragment against the global pos and return silently wrong
+    # attention. So rewrite the shardings here instead of passing them
+    # through: keep only the minor (bh) dim's axis, replicate everything
+    # else (pos fully replicated).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fix(shaped, keep_minor):
+        sh = shaped.sharding
+        m = getattr(sh, "mesh", mesh)
+        spec = getattr(sh, "spec", None)
+        nd = len(shaped.shape)
+        minor = (spec[nd - 1] if keep_minor and spec is not None
+                 and len(spec) >= nd else None)
+        return NamedSharding(m, P(*([None] * (nd - 1) + [minor])))
+
+    pos, *tensors = arg_shapes
+    arg_shardings = (fix(pos, False),) + tuple(fix(t, True) for t in tensors)
+    result_shardings = jax.tree.map(lambda x: fix(x, True), result_shape)
     return mesh, _spmd_lower, result_shardings, arg_shardings
 
 
