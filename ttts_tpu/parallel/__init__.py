@@ -1,1 +1,10 @@
-from ttts_tpu.parallel.mesh import data_axis_size, make_mesh, shard_batch, replicate, with_sharding  # noqa: F401
+from ttts_tpu.parallel.mesh import (  # noqa: F401
+    data_axis_size,
+    initialize_distributed,
+    is_primary,
+    make_mesh,
+    multihost_requested,
+    replicate,
+    shard_batch,
+    with_sharding,
+)

@@ -10,6 +10,7 @@ contiguous) devices and 'data' spans slices (DCN-friendly).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -17,6 +18,72 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ttts_tpu.config import MeshConfig
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> tuple:
+    """Multi-host process bootstrap: `jax.distributed.initialize` with the
+    reference's torch.distributed env conventions mapped in.
+
+    The reference rendezvouses one process per GPU via
+    `dist.init_process_group(init_method='env://')` driven by
+    MASTER_ADDR/MASTER_PORT + mp.spawn rank/world
+    (ttts/vqvae/train.py:44-60,127-132; SURVEY §5.8). The JAX equivalent is
+    one `jax.distributed.initialize` per HOST, after which `jax.devices()`
+    spans every process and a single mesh/jit program drives the whole fleet.
+
+    Resolution order per field:
+      1. explicit arguments;
+      2. torch-style env: MASTER_ADDR[:MASTER_PORT], WORLD_SIZE → process
+         count, RANK → process id (so reference launch scripts translate
+         1:1 — WORLD_SIZE/RANK here count HOSTS, not accelerators);
+      3. nothing set → bare `jax.distributed.initialize()`, which
+         auto-detects on Cloud TPU pods (the runtime publishes coordinator
+         and topology; no rendezvous scripting needed).
+
+    Single-process runs simply never call this (mains only call it when
+    --multihost / TTTS_MULTIHOST=1 or WORLD_SIZE>1 says so). Idempotent:
+    repeat calls are no-ops. Returns (process_index, process_count)."""
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return jax.process_index(), jax.process_count()
+    if coordinator_address is None and "MASTER_ADDR" in os.environ:
+        port = os.environ.get("MASTER_PORT", "1234")
+        coordinator_address = f"{os.environ['MASTER_ADDR']}:{port}"
+    if num_processes is None and "WORLD_SIZE" in os.environ:
+        num_processes = int(os.environ["WORLD_SIZE"])
+    if process_id is None and "RANK" in os.environ:
+        process_id = int(os.environ["RANK"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _DISTRIBUTED_INITIALIZED = True
+    return jax.process_index(), jax.process_count()
+
+
+def multihost_requested() -> bool:
+    """True when the environment asks for multi-host bootstrap (mains call
+    initialize_distributed() iff this holds, so single-host runs never touch
+    the distributed service)."""
+    return (os.environ.get("TTTS_MULTIHOST", "0") == "1"
+            or int(os.environ.get("WORLD_SIZE", "1")) > 1)
+
+
+def is_primary() -> bool:
+    """Process 0 — the only process that writes TensorBoard events and logs
+    (every process still participates in Orbax saves: multihost checkpoint
+    writes are collectives that Orbax coordinates, with each process writing
+    its addressable shards and process 0 finalizing metadata)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:

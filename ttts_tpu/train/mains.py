@@ -62,8 +62,32 @@ def _cadence(cfg: TTTSConfig):
     return (cfg.train.train_steps * m, cfg.train.save_freq * m, 100 * m)
 
 
-def _simple_batches(dataset, batch_size: int, seed: int):
-    """Shuffled index batches, re-seeded per epoch."""
+def _dist_info():
+    """(rank, world) for the data pipeline. Multi-host runs (--multihost /
+    TTTS_MULTIHOST=1 / WORLD_SIZE>1 — the reference's env:// convention,
+    ttts/vqvae/train.py:50-51) bootstrap jax.distributed first so the mesh
+    spans every process; each process then loads only its rank-strided
+    sampler shard and the Trainer assembles global arrays from process-local
+    data. Single-host runs return (0, 1) without touching the distributed
+    service."""
+    from ttts_tpu.parallel import initialize_distributed, multihost_requested
+
+    if multihost_requested():
+        return initialize_distributed()
+    return 0, 1
+
+
+def _per_process_batch(global_batch: int, world: int) -> int:
+    assert global_batch % world == 0, (
+        f"global batch {global_batch} must divide over {world} processes")
+    return global_batch // world
+
+
+def _simple_batches(dataset, batch_size: int, seed: int,
+                    num_replicas: int = 1, rank: int = 0):
+    """Shuffled index batches, re-seeded per epoch; rank-strided across
+    processes (every process computes the same permutation from the shared
+    seed, then takes batches[rank::num_replicas])."""
 
     def make(epoch: int):
         g = np.random.default_rng(seed + epoch)
@@ -72,6 +96,8 @@ def _simple_batches(dataset, batch_size: int, seed: int):
             list(order[i : i + batch_size])
             for i in range(0, len(order) - batch_size + 1, batch_size)
         ]
+        n = (len(batches) // num_replicas) * num_replicas
+        batches = batches[:n][rank::num_replicas]
         return DataLoader(dataset, batches, dataset.collate)
 
     return EpochLoader(make)
@@ -94,7 +120,8 @@ def _bucketed_batches(dataset, batch_size: int, seed: int, boundaries,
                                        num_replicas=num_replicas, rank=rank,
                                        seed=seed)
     if not sampler.buckets:
-        return _simple_batches(dataset, batch_size, seed)
+        return _simple_batches(dataset, batch_size, seed,
+                               num_replicas=num_replicas, rank=rank)
 
     def make(epoch: int):
         sampler.set_epoch(epoch)
@@ -109,10 +136,12 @@ def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None)
 
     model = UnifiedVoice(model_cfg, dtype=_amp_dtype(cfg))
     ds = GptTtsDataset(manifest)
+    rank, world = _dist_info()
     # length-bucketed over VQ-code counts (the dominant padded axis);
     # MAX_CODES=600 so buckets of 64 up to 640 cover every kept row
-    data = _bucketed_batches(ds, cfg.train.batch_size, cfg.train.seed,
-                             boundaries=range(0, 641, 64))
+    data = _bucketed_batches(ds, _per_process_batch(cfg.train.batch_size, world),
+                             cfg.train.seed, boundaries=range(0, 641, 64),
+                             num_replicas=world, rank=rank)
 
     ex = None
     for i in range(len(ds)):
@@ -155,8 +184,10 @@ def train_clvp(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None
 
     model = CLVP(cfg.clvp, dtype=_amp_dtype(cfg))
     ds = CLVPDataset(manifest)
-    data = _bucketed_batches(ds, cfg.train.batch_size, cfg.train.seed,
-                             boundaries=range(0, 641, 64))
+    rank, world = _dist_info()
+    data = _bucketed_batches(ds, _per_process_batch(cfg.train.batch_size, world),
+                             cfg.train.seed, boundaries=range(0, 641, 64),
+                             num_replicas=world, rank=rank)
     ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
     b0 = ds.collate([ex])
     params = model.init(jax.random.key(0), jnp.asarray(b0["text"]),
@@ -188,9 +219,11 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
                                       cfg.diffusion.trained_timesteps)
     )
     ds = DiffusionDataset(manifest)
+    rank, world = _dist_info()
     # bucketed over target-mel frames (capped at MAX_MEL=400 like __getitem__)
-    data = _bucketed_batches(ds, cfg.train.batch_size, cfg.train.seed,
-                             boundaries=range(0, 449, 64))
+    data = _bucketed_batches(ds, _per_process_batch(cfg.train.batch_size, world),
+                             cfg.train.seed, boundaries=range(0, 449, 64),
+                             num_replicas=world, rank=rank)
     ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
     b0 = ds.collate([ex])
     params = net.init(
@@ -232,7 +265,9 @@ def train_classifier(cfg: TTTSConfig, clean_list: str, noise_list: str,
                                 pad_to=cfg.classifier.pad_to_mel_frames,
                                 spec_dim=cfg.classifier.spec_dim,
                                 rng=np.random.default_rng(cfg.train.seed))
-    data = _simple_batches(ds, cfg.train.batch_size, cfg.train.seed)
+    rank, world = _dist_info()
+    data = _simple_batches(ds, _per_process_batch(cfg.train.batch_size, world),
+                           cfg.train.seed, num_replicas=world, rank=rank)
     ex = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
     b0 = ds.collate([ex])
     params = model.init(jax.random.key(cfg.train.seed), jnp.asarray(b0["mel"]))

@@ -27,6 +27,20 @@ from ttts_tpu.train.checkpoints import CheckpointManager
 from ttts_tpu.utils.logging import SummaryWriter, get_logger
 
 
+class _NullWriter:
+    """TensorBoard sink for non-primary processes."""
+
+    def summarize(self, *a, **kw):
+        pass
+
+    def close(self):
+        pass
+
+
+class PreemptionRequested(Exception):
+    """Raised inside Trainer.train after a SIGTERM-triggered final save."""
+
+
 class Trainer:
     """Drives (state, batch, key) -> (state, metrics) steps."""
 
@@ -56,9 +70,19 @@ class Trainer:
         self.eval_freq = eval_freq or save_freq
         self.mesh = mesh
         self.logs_folder = pathlib.Path(logs_folder)
-        self.writer = SummaryWriter(self.logs_folder / "tb")
+        # multi-host: only process 0 writes TensorBoard events / runs eval
+        # hooks; every process participates in Orbax saves (collective — the
+        # manager coordinates shard writes and process-0 metadata). Log files
+        # are per-process so a shared logs dir doesn't interleave.
+        from ttts_tpu.parallel import is_primary
+
+        self._primary = is_primary()
+        self.writer = (SummaryWriter(self.logs_folder / "tb")
+                       if self._primary else _NullWriter())
         self.ckpt = CheckpointManager(self.logs_folder / "ckpt", keep=keep_ckpts)
-        self.logger = get_logger("trainer", str(self.logs_folder / "train.log"))
+        log_name = ("train.log" if self._primary
+                    else f"train.p{jax.process_index()}.log")
+        self.logger = get_logger("trainer", str(self.logs_folder / log_name))
         self.key = jax.random.key(seed)
         self.step = 0
         # failure detection (SURVEY §5.3): apply_gradients_safe skips
@@ -67,6 +91,27 @@ class Trainer:
         # instead of burning the remaining step budget.
         self.max_consecutive_nonfinite = max_consecutive_nonfinite
         self._nonfinite_run = 0
+
+    def _install_preemption_handler(self):
+        """SIGTERM → set a flag; the train loop flushes a final Orbax save at
+        the top of the next step and raises PreemptionRequested. Installed
+        only on the main thread (signal.signal raises elsewhere — e.g. when
+        a Trainer runs inside a test worker thread); the previous handler is
+        chained so embedding applications keep their own shutdown logic."""
+        self._preempted = False
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+        prev = signal.getsignal(signal.SIGTERM)
+
+        def handler(signum, frame):
+            self._preempted = True
+            if callable(prev) and prev not in (signal.SIG_IGN, signal.SIG_DFL):
+                prev(signum, frame)
+
+        signal.signal(signal.SIGTERM, handler)
 
     def maybe_resume(self):
         """Auto-resume from the latest checkpoint (replaces the reference's
@@ -83,6 +128,23 @@ class Trainer:
     def _put(self, batch: Dict[str, np.ndarray]):
         if self.mesh is None:
             return {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        if jax.process_count() > 1:
+            # multi-host: each process holds only ITS sampler shard (the
+            # rank-strided bucket slice) — assemble the global array from
+            # process-local data. Shapes must be identical across processes
+            # (the bucket sampler emits fixed-size batches per rank); a
+            # replicated fallback would silently run different programs per
+            # process, so divisibility is asserted instead.
+            out = {}
+            for k, v in batch.items():
+                v = np.asarray(v)
+                sh = shard_batch(self.mesh, v.ndim)
+                n_local = data_axis_size(self.mesh) // jax.process_count()
+                assert v.shape[0] % max(n_local, 1) == 0, (
+                    f"multi-host batch '{k}' local leading dim {v.shape[0]} "
+                    f"must divide the {n_local} local data-axis shards")
+                out[k] = jax.make_array_from_process_local_data(sh, v)
+            return out
         # collaters drop failed examples (gpt/dataset.py:49-51 semantics), so
         # a batch can arrive smaller than batch_size; when the leading dim
         # doesn't divide the data axis, fall back to replicated placement —
@@ -116,7 +178,19 @@ class Trainer:
         it = iter(self.data_iter)
         t0 = time.perf_counter()
         pending_skip = None  # previous step's device-side flag
+        self._install_preemption_handler()
         while self.step < self.train_steps:
+            if self._preempted:
+                # preemption grace (SURVEY §5.3 — absent in the reference,
+                # which loses everything since its last manual save): flush
+                # a final synchronous checkpoint, then surface the stop.
+                self.logger.info(
+                    "SIGTERM received — flushing checkpoint at step %d",
+                    self.step)
+                if self.ckpt.latest_step() != self.step:
+                    self.ckpt.save(self.step, self.state, wait=True)
+                raise PreemptionRequested(
+                    f"preempted at step {self.step}; checkpoint flushed")
             try:
                 batch = next(it)
             except StopIteration:
