@@ -6,6 +6,8 @@ import pytest
 from tests.test_api import TINY
 from ttts_tpu.api import TextToSpeech
 
+pytestmark = pytest.mark.heavy  # compile-heavy; fast loop = -m "not heavy"
+
 
 @pytest.mark.slow
 def test_tts_batch_smoke():

@@ -54,6 +54,8 @@ from ttts_tpu.train.steps import (
     vqvae_train_step,
 )
 
+pytestmark = pytest.mark.heavy  # compile-heavy; fast loop = -m "not heavy"
+
 
 def _scan_steps(step_fn, state, batch, key, n):
     """Run `n` train steps as one jitted lax.scan; returns (state, metrics)

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 import refshim
 
+pytestmark = pytest.mark.heavy  # compile-heavy; fast loop = -m "not heavy"
+
 TOL = 1e-3
 
 

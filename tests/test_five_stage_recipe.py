@@ -45,6 +45,8 @@ from ttts_tpu.config import (
 from ttts_tpu.data.audio import save_wav
 from ttts_tpu.data.manifest import load_sidecar, read_manifest
 
+pytestmark = pytest.mark.heavy  # compile-heavy; fast loop = -m "not heavy"
+
 SR = 32000
 
 RECIPE_CFG = TTTSConfig(

@@ -119,6 +119,7 @@ VQ_TINY = VQVAEConfig(inter_channels=16, hidden_channels=16, filter_channels=32,
                       posterior_wn_layers=2, flow_layers=1, flow_wn_layers=1)
 
 
+@pytest.mark.heavy  # the two-optimizer GAN step is the suite's longest compile
 class TestVQVAEStep:
     def test_gan_step_runs(self):
         rng = np.random.default_rng(9)
