@@ -101,3 +101,44 @@ def test_fused_conditioning_matches_composed_stages():
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(want_codes))
     np.testing.assert_allclose(np.asarray(refer), np.asarray(want_refer),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_golden_e2e_snapshot():
+    """Fixed-seed end-to-end regression pin: the TINY-config `tts()` output
+    waveform must match the committed snapshot within a tolerance band, so
+    silent numeric drift in ANY stage (DSP, codec, GPT+sampling, diffusion,
+    vocoder) breaks a test instead of an audio demo.
+
+    The snapshot also pins the prompt VQ codes (bit-exact ints) to localize
+    a failure: codes mismatch → codec/DSP drift; codes equal but waveform
+    length differs → GPT sampling flipped a token (logit drift upstream);
+    same length but values drift → diffusion/vocoder numeric change.
+
+    Regeneration (`TTTS_REGEN_GOLDEN=1 pytest tests/test_api.py -k golden`)
+    is legitimate ONLY when an intentional, reviewed numerical change lands
+    (e.g. a documented kernel rewrite with a new parity study) — never to
+    silence an unexplained failure. CPU-only: f32 end to end, deterministic
+    given the jax version; tolerances absorb cross-version XLA drift."""
+    import os
+    import pathlib
+
+    asset = pathlib.Path(__file__).parent / "assets" / "golden_e2e_tiny.npz"
+    tts = TextToSpeech(TINY, seed=0)
+    rng = np.random.default_rng(0)
+    voice = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    codes, _refer = tts.get_conditioning(voice, 32000)
+    wav = tts.tts("ni3 hao3 shi4 jie4", voice, 32000, preset="ultra_fast",
+                  max_generate_length=32, seed=0)
+    if os.environ.get("TTTS_REGEN_GOLDEN") == "1":
+        np.savez(asset, wav=wav, prompt_codes=np.asarray(codes))
+        return
+    ref = np.load(asset)
+    np.testing.assert_array_equal(np.asarray(codes), ref["prompt_codes"],
+                                  err_msg="prompt VQ codes drifted (codec/DSP)")
+    assert wav.shape == ref["wav"].shape, (
+        f"waveform length {wav.shape} != snapshot {ref['wav'].shape} — GPT "
+        "sampling flipped a token (logit drift upstream of the tail)")
+    np.testing.assert_allclose(
+        wav, ref["wav"], atol=5e-4, rtol=0,
+        err_msg="waveform drifted at equal code length (diffusion/vocoder)")
