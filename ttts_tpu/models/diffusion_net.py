@@ -154,6 +154,10 @@ class AttentionBlock(nn.Module):
     # HBM. Used on the per-step trunk path (T is a multiple of 128 there);
     # when flash is set, a precomputed rel_bias is the (H, 2T−1) STRIP.
     flash: bool = False
+    # Pallas fused GroupNorm→qkv producer (ops/pallas/resblock.py
+    # fused_gn_qkv): one HBM pass for the norm+projection chain feeding the
+    # attention. Engaged with the same gates as the trunk resblock kernel.
+    fused_gn: bool = False
     # sequence parallelism (SURVEY §5.7): shard the time axis over
     # `sp_axis` of `sp_mesh` and run ring attention (parallel/
     # ring_attention.py) — exact attention with O(T/n · T/n) scores per
@@ -204,11 +208,31 @@ class AttentionBlock(nn.Module):
                 and t <= 6144
                 and jax.default_backend() not in ("cpu",))
 
+    def _use_fused_gn(self, x) -> bool:
+        _, t, c = x.shape
+        return (self.fused_gn and not self.is_initializing()
+                and c % 128 == 0 and t % 8 == 0
+                # 2 f32 slabs (x, normalized) + the (T, 3C) product + weights
+                and t * c * 4 * 5 + 3 * c * c * x.dtype.itemsize <= 12 * 2**20
+                and jax.default_backend() not in ("cpu",))
+
     def __call__(self, x, rel_bias=None):
         b, t, c = x.shape
         h = self.num_heads
         dk = c // h
-        qkv = self.qkv(self.norm(x))
+        if self._use_fused_gn(x):
+            from ttts_tpu.ops.pallas.resblock import fused_gn_qkv
+
+            gn = self.get_variable("params", "norm")["GroupNorm_0"]
+            pq = self.get_variable("params", "qkv")
+            # cast to the module compute dtype first (what nn.Dense(dtype=…)
+            # does inside the XLA path); an f32 cond-path input otherwise
+            # doubles every kernel slab and blows the scoped-VMEM stack
+            qkv = fused_gn_qkv(x.astype(self.dtype), gn["scale"], gn["bias"],
+                               pq["kernel"], pq["bias"],
+                               groups=_num_groups(c))
+        else:
+            qkv = self.qkv(self.norm(x))
         # legacy layout: per head, [q;k;v] channels (utils.py:155)
         qkv = qkv.reshape(b, t, h, 3 * dk)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -253,7 +277,15 @@ class AttentionBlock(nn.Module):
 
 class ScaleShiftResBlock(nn.Module):
     """ResBlock with scale-shift (FiLM) timestep conditioning
-    (aa_model.py:72-133, use_scale_shift_norm=True, efficient 1×1 in/skip)."""
+    (aa_model.py:72-133, use_scale_shift_norm=True, efficient 1×1 in/skip).
+
+    `fused=True` routes the deterministic TPU forward through the Pallas
+    whole-block kernel (ops/pallas/resblock.py): the GN→SiLU→Dense→GN·FiLM→
+    SiLU→conv3→residual chain reads/writes HBM once instead of ~10× — this
+    chain is bandwidth-bound and ~75% of the serving denoiser step after the
+    flash-attention work. Child modules carry EXPLICIT names (the flax
+    auto-names) so the param tree is identical whichever path runs; the
+    emb→(scale, shift) Dense always runs in XLA (a (B, C) matmul)."""
 
     channels: int
     emb_channels: int
@@ -261,21 +293,54 @@ class ScaleShiftResBlock(nn.Module):
     dropout: float = 0.0
     kernel_size: int = 3
     dtype: Any = jnp.float32
+    fused: bool = False
+
+    def _use_fused(self, x, deterministic: bool) -> bool:
+        out_ch = self.out_channels or self.channels
+        _, t, c = x.shape
+        return (self.fused and deterministic and not self.is_initializing()
+                and out_ch == self.channels == c
+                and self.kernel_size == 3
+                and c % 128 == 0 and t % 8 == 0
+                # per-program f32 working set ≈ 5 (T, C) slabs + weights
+                # must fit the 16 MiB scoped-VMEM stack (CLAUDE.md lesson g)
+                and t * c * 4 * 5 + 4 * c * c * x.dtype.itemsize <= 12 * 2**20
+                and jax.default_backend() not in ("cpu",))
 
     @nn.compact
     def __call__(self, x, emb, deterministic=True):
         out_ch = self.out_channels or self.channels
-        h = GroupNorm32(self.channels)(x)
+        e = nn.Dense(2 * out_ch, name="Dense_1")(jax.nn.silu(emb))  # (B, 2C)
+        scale, shift = jnp.split(e, 2, axis=-1)
+        if self._use_fused(x, deterministic):
+            from ttts_tpu.ops.pallas.resblock import fused_scale_shift_resblock
+
+            p = lambda name: self.get_variable("params", name)
+            gn1, gn2 = p("GroupNorm32_0")["GroupNorm_0"], p("GroupNorm32_1")["GroupNorm_0"]
+            a2 = gn2["scale"] * (1 + scale)
+            b2 = gn2["bias"] * (1 + scale) + shift
+            # compute-dtype cast up front (the XLA path's Dense/Conv would
+            # cast anyway; keeps f32 cond-path inputs from doubling the
+            # kernel's VMEM slabs). Costs one bf16 rounding of the residual.
+            return fused_scale_shift_resblock(
+                x.astype(self.dtype), gn1["scale"], gn1["bias"],
+                p("Dense_0")["kernel"], p("Dense_0")["bias"],
+                a2, b2, p("Conv_0")["kernel"], p("Conv_0")["bias"],
+                groups=_num_groups(self.channels),
+            )
+        h = GroupNorm32(self.channels, name="GroupNorm32_0")(x)
         h = jax.nn.silu(h)
-        h = nn.Dense(out_ch, dtype=self.dtype)(h)  # efficient_config: 1×1 conv
-        e = nn.Dense(2 * out_ch)(jax.nn.silu(emb))  # (B, 2C)
-        scale, shift = jnp.split(e[:, None, :], 2, axis=-1)
-        h = GroupNorm32(out_ch)(h) * (1 + scale) + shift
+        # efficient_config: 1×1 conv
+        h = nn.Dense(out_ch, dtype=self.dtype, name="Dense_0")(h)
+        h = (GroupNorm32(out_ch, name="GroupNorm32_1")(h) * (1 + scale[:, None, :])
+             + shift[:, None, :])
         h = jax.nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(out_ch, (self.kernel_size,), padding="SAME", dtype=self.dtype)(h)
-        skip = x if out_ch == self.channels else nn.Dense(out_ch, dtype=self.dtype)(x)
+        h = nn.Conv(out_ch, (self.kernel_size,), padding="SAME",
+                    dtype=self.dtype, name="Conv_0")(h)
+        skip = (x if out_ch == self.channels
+                else nn.Dense(out_ch, dtype=self.dtype, name="Dense_2")(x))
         return skip + h
 
 
@@ -287,16 +352,23 @@ class DiffusionLayer(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     flash: bool = False
+    fused_res: bool = False
     sp_mesh: Any = None
     sp_axis: str = "sp"
 
     def setup(self):
         self.resblk = ScaleShiftResBlock(self.channels, self.channels,
                                          self.channels, self.dropout,
-                                         dtype=self.dtype)
+                                         dtype=self.dtype,
+                                         fused=self.fused_res)
+        # NOTE: fused_gn deliberately NOT tied to fused_res — measured
+        # NEGATIVE in the real trunk (7.83 vs 7.22 ms baseline at B=8,
+        # T=768): the standalone GN→qkv kernel breaks XLA's fusion of the
+        # attention producer into its neighbours and re-pays stats per
+        # column block. Kept available for other shapes/callers.
         self.attn = AttentionBlock(self.channels, self.num_heads, dtype=self.dtype,
-                                   flash=self.flash, sp_mesh=self.sp_mesh,
-                                   sp_axis=self.sp_axis)
+                                   flash=self.flash,
+                                   sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
 
     def __call__(self, x, time_emb, deterministic=True, rel_bias=None):
         y = self.resblk(x, time_emb, deterministic)
@@ -347,6 +419,10 @@ class AA_diffusion(nn.Module):
     # layers, which run at out_len — a multiple of 128). The once-per-
     # utterance conditioning encoders keep the XLA path (arbitrary lengths).
     flash: bool = False
+    # Pallas whole-block ScaleShiftResBlock kernel for the same per-step
+    # path (ops/pallas/resblock.py — one HBM read+write per block instead
+    # of ~10; engaged only on deterministic TPU forwards at fitting shapes).
+    fused_res: bool = False
     # sequence parallelism for the per-step path (SURVEY §5.7): shard the
     # output time axis over sp_axis of sp_mesh and run ring attention in the
     # integrator + trunk layers. For long utterances (T≥4k) whose (B,H,T,T)
@@ -371,8 +447,8 @@ class AA_diffusion(nn.Module):
         )
         self.conditioning_timestep_integrator = [
             DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype,
-                           flash=self.flash, sp_mesh=self.sp_mesh,
-                           sp_axis=self.sp_axis)
+                           flash=self.flash, fused_res=self.fused_res,
+                           sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
             for _ in range(3)
         ]
         self.refer_conv = nn.Conv(ch, (3,), padding="SAME")
@@ -381,11 +457,12 @@ class AA_diffusion(nn.Module):
         self.integrating_conv = nn.Dense(ch)
         self.layers = [
             DiffusionLayer(ch, c.num_heads, c.dropout, dtype=self.dtype,
-                           flash=self.flash, sp_mesh=self.sp_mesh,
-                           sp_axis=self.sp_axis)
+                           flash=self.flash, fused_res=self.fused_res,
+                           sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
             for _ in range(c.num_layers)
         ] + [
-            ScaleShiftResBlock(ch, ch, ch, c.dropout, dtype=self.dtype)
+            ScaleShiftResBlock(ch, ch, ch, c.dropout, dtype=self.dtype,
+                               fused=self.fused_res)
             for _ in range(3)
         ]
         self.out_norm = GroupNorm32(ch)
