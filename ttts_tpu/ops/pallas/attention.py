@@ -103,14 +103,20 @@ def flash_attention(
     Returns (B, T, H, D). Requires T % blk == 0 and blk % 128 == 0 (the
     strip window slice must stay lane-aligned; 448 fails Mosaic's proof).
 
-    blk=None → 128: measured best on v5e at the trunk shape (H=16, D=32)
-    with the per-(batch,head) grid — 0.24 ms vs 0.41 (blk=256) / 0.29
-    (blk=384) at (8, 768), amort-64 slopes (scripts/bench_trunk_attention
-    .py); larger tiles lose to pipeline bubbles once the per-program VMEM
-    working set grows."""
+    blk=None → the largest of (512, 384, 256, 128) dividing T whose
+    (blk, T) f32 score tile + two Toeplitz temporaries stay under the
+    scoped-VMEM stack (blk·T ≤ 2^20). Round-5 amort-64 sweep on v5e at the
+    trunk shape (B=8, H=16, D=32): T=768 → 0.369 ms at blk=384 vs 0.538 at
+    128 / 0.415 at 256 / 0.525 at 768; T=1024 → 0.519 at blk=512 vs 0.899
+    at 128. Fewer, fatter programs win — per-program pipeline overhead
+    dominates below ~384 rows. (An earlier round-4 sweep of a different
+    kernel revision preferred 128; re-sweep after kernel changes.)
+    T=896-class lengths only divide by 128 (448 fails Mosaic's proof) and
+    stay on blk=128."""
     b, t, h, d = q.shape
     if blk is None:
-        blk = 128
+        blk = next((c for c in (512, 384, 256, 128)
+                    if t % c == 0 and c * t <= 1 << 20), 128)
     assert t % blk == 0, f"T={t} must be a multiple of blk={blk}"
     assert blk % 128 == 0, (
         f"blk={blk} must be a multiple of 128 — the Toeplitz strip window "
