@@ -56,17 +56,20 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _code_bucket(code_len: int, cap: int) -> int:
+def _code_bucket(code_len: int, cap: int, trunk_batch: int = 1) -> int:
     """Mel-code bucket for the diffusion/vocoder tail: round up to 32 (bounds
     jit recompiles and keeps padded-latent pollution ≤ one bucket), then — on
-    accelerators — nudge up to the next bucket whose trunk length (4×) lets
-    the flash kernel pick a ≥256-row query block (ops/pallas/attention.py
-    blk policy). Measured on v5e: T=896 is stuck at blk=128 (0.71 ms/attn)
+    accelerators, WHEN the trunk will actually take the Pallas flash path at
+    (trunk_batch, 4×bucket) — nudge up to the next bucket whose trunk length
+    lets the kernel pick a ≥256-row query block (ops/pallas/attention.py blk
+    policy). Measured on v5e at B=8: T=896 is stuck at blk=128 (0.71 ms/attn)
     while T=1024 runs blk=512 (0.52 ms) — +14% frames, −27% attention; the
     extra padded frames are the same pollution mechanism the 32-bucket
     already has (trunk attention is unmasked, reference parity) and the
-    output is trimmed to the exact code length regardless. CPU keeps the
-    plain 32-bucket so the golden e2e snapshot stays pinned."""
+    output is trimmed to the exact code length regardless. Single-stream
+    tails (B·T < the flash gate) stay on XLA einsum, where longer T only
+    costs — no nudge. CPU keeps the plain 32-bucket so the golden e2e
+    snapshot stays pinned. trunk_batch = streams × 2 (batched CFG)."""
     import jax
 
     bucket = min(_round_up(code_len, 32), cap)
@@ -75,10 +78,12 @@ def _code_bucket(code_len: int, cap: int) -> int:
     best_blk = lambda t: next(
         (c for c in (512, 384, 256, 128) if t % c == 0 and c * t <= 1 << 20),
         128)
+    flash_engages = lambda t: (t % 128 == 0 and t <= 6144
+                               and (t >= 1536 or trunk_batch * t >= 4096))
     for b in range(bucket, min(bucket + 97, cap + 1), 32):
-        if best_blk(4 * b) >= 256:
+        if flash_engages(4 * b) and best_blk(4 * b) >= 256:
             return b
-    return bucket  # very long T: blk·T cap forces 128 anyway — don't pad
+    return bucket  # einsum-path shapes / very long T: don't pad
 
 
 class TextToSpeech:
@@ -507,7 +512,7 @@ class TextToSpeech:
         code_len = max(code_len, 1)
         # bucket the code length — see _code_bucket (32-bucket + flash-blk
         # friendly trunk lengths on accelerators)
-        bucket = _code_bucket(code_len, arr.shape[0])
+        bucket = _code_bucket(code_len, arr.shape[0], trunk_batch=2)
         clean = np.where(np.arange(arr.shape[0]) < code_len, arr, 0)[:bucket]
         best_codes = jnp.asarray(clean)[None]
 
@@ -579,7 +584,8 @@ class TextToSpeech:
         for row in arr:
             stops = np.where(row == stop)[0]
             code_lens.append(max(int(stops[0]) if len(stops) else row.shape[0], 1))
-        bucket = _code_bucket(max(code_lens), arr.shape[1])
+        bucket = _code_bucket(max(code_lens), arr.shape[1],
+                              trunk_batch=2 * len(code_lens))
         clean = np.stack([
             np.where(np.arange(arr.shape[1]) < cl, row, 0)[:bucket]
             for row, cl in zip(arr, code_lens)
