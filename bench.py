@@ -388,8 +388,10 @@ def bench_all():
         # single-call wall time here is ~all tunnel floor (config 0): Vocos
         # device time is ~1 ms/768 frames since the dense-OLA ISTFT. Report
         # the honest device cost as the slope of N sequential applies inside
-        # ONE program.
-        n_am = 8
+        # ONE program. n=64 per CLAUDE.md lesson (l): at n=8 the slope sits
+        # inside the ±ms tunnel jitter and once produced a 19 M-frames/s
+        # "measurement" (mfu 2.7 — physically impossible).
+        n_am = 64
 
         def vocos_scan(n):
             def run(params, mel):
@@ -402,19 +404,24 @@ def bench_all():
         v1, vN = vocos_scan(1), vocos_scan(n_am)
         tv1 = _timeit(lambda: np.asarray(v1(tts.params["vocos"], mel4)))
         tvN = _timeit(lambda: np.asarray(vN(tts.params["vocos"], mel4)))
-        dtv_am = max((tvN - tv1) / (n_am - 1), 1e-6)
-        rows.append({"config": "4b_vocos_only",
-                     "mel_frames_per_sec": round(out_len / dtv, 1),
-                     "audio_sec_per_sec": round(audio4 / dtv, 1),
-                     "mel_frames_per_sec_device": round(out_len / dtv_am, 1),
-                     "audio_sec_per_sec_device": round(audio4 / dtv_am, 1),
-                     "mfu_est_device": round(2 * n_params["vocos"] * out_len
-                                             / dtv_am / V5E_PEAK_FLOPS, 4),
-                     "mfu_est": round(2 * n_params["vocos"] * out_len / dtv
-                                      / V5E_PEAK_FLOPS, 4),
-                     "note": "single-call rate is tunnel-floor-bound "
-                             "(config 0); _device rows are the amortized "
-                             "slope of 8 applies in one program"})
+        dtv_am = (tvN - tv1) / (n_am - 1)
+        row4b = {"config": "4b_vocos_only",
+                 "mel_frames_per_sec": round(out_len / dtv, 1),
+                 "audio_sec_per_sec": round(audio4 / dtv, 1),
+                 "mfu_est": round(2 * n_params["vocos"] * out_len / dtv
+                                  / V5E_PEAK_FLOPS, 4),
+                 "note": "single-call rate is tunnel-floor-bound "
+                         "(config 0); _device rows are the amortized "
+                         "slope of 64 applies in one program"}
+        if dtv_am > 5e-5:  # below ~50 µs/apply the slope is tunnel jitter
+            row4b.update(
+                mel_frames_per_sec_device=round(out_len / dtv_am, 1),
+                audio_sec_per_sec_device=round(audio4 / dtv_am, 1),
+                mfu_est_device=round(2 * n_params["vocos"] * out_len
+                                     / dtv_am / V5E_PEAK_FLOPS, 4))
+        else:
+            row4b["note"] += "; slope below measurement resolution this run"
+        rows.append(row4b)
         _note("config 4b done")
 
     # ---- config 4c: BATCHED diffusion(50) + vocos at FIXED shapes ----------
