@@ -44,6 +44,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--gpt-probe", action="store_true",
+                    help="also run the GPT batch-uplift probe rows "
+                         "(b128 / b128+remat / b96)")
     args = ap.parse_args()
 
     import jax
@@ -76,10 +79,12 @@ def main():
         compile_s = time.time() - t_c0
         # warm-up: the first post-compile step has been observed to stall
         # ~minutes through the tunnel (one-off HBM/defrag hiccup; steady
-        # state right after is fine) — run two unmeasured steps first.
+        # state right after is fine) — run two unmeasured steps first,
+        # BLOCKING each so run-ahead never holds two steps' activations
+        # live at once (the codec GAN step OOMs otherwise).
         for i in range(2):
             s, m = step(s, batch, jax.random.fold_in(key, 1000 + i))
-        jax.block_until_ready(m)
+            jax.block_until_ready(m)
         # per-step wall with a host fetch each step (what a logging train
         # loop sees; adds the ~35 ms tunnel floor) — MEDIAN of steps so a
         # single tunnel stall cannot poison the row.
@@ -136,6 +141,42 @@ def main():
             jax.random.key(1), tokens_per_step=tokens,
             note="fwd+bwd+grad-norm; resid/embd dropout on, attn dropout off")
 
+        # batch-uplift probe (VERDICT r4 #7): does a bigger per-chip batch
+        # (with remat if HBM demands it) raise tokens/s at the same context?
+        if args.gpt_probe:
+            def make_batch(Bp):
+                return {
+                    "text": jnp.asarray(rng.integers(1, 255, size=(Bp, LT))),
+                    "text_lengths": jnp.asarray(
+                        rng.integers(LT // 2, LT, size=(Bp,))),
+                    "mel_codes": jnp.asarray(
+                        rng.integers(0, 1024, size=(Bp, LM))),
+                    "wav_lengths": jnp.asarray(
+                        rng.integers(LM // 2, LM, size=(Bp,))) * 1024,
+                }
+            for Bp, ckpt in ((128, True), (128, False), (96, False)):
+                # GPT2Block names are remat-stable (gpt.py GPT2Stack), so the
+                # b64 params are reusable for every probe row.
+                pcfg = dataclasses.replace(gcfg, checkpointing=ckpt)
+                pmodel = UnifiedVoice(pcfg, dtype=jnp.bfloat16)
+                pstate = TrainState.create(apply_fn=pmodel.apply,
+                                           params=params,
+                                           tx=make_adamw(1e-4, warmup_steps=1))
+                pstep = jax.jit(lambda s, b, k, m=pmodel: gpt_train_step(
+                    s, b, k, m))
+                try:
+                    run(f"gpt_train(flash,b{Bp}{',remat' if ckpt else ''})",
+                        pstep, pstate, make_batch(Bp), jax.random.key(1),
+                        tokens_per_step=Bp * (LT + LM + 3),
+                        note="batch-uplift probe vs the b64 row")
+                except Exception as e:  # OOM at this batch is itself a result
+                    row = {"name": f"gpt_train(flash,b{Bp}"
+                                    f"{',remat' if ckpt else ''})",
+                           "error": f"{type(e).__name__}: {str(e)[:400]}"}
+                    out["rows"].append(row)
+                    print(json.dumps(row), file=sys.stderr, flush=True)
+                del pstate, pstep
+
     # ---- codec GAN (README: batch 16 × 8 s clips, full aug in-jit) --------
     if not args.only or "vqvae" in args.only or "gan" in args.only:
         from ttts_tpu.models.discriminator import MultiPeriodDiscriminator
@@ -170,15 +211,18 @@ def main():
                                     extra_vars={"codebook": g_vars["codebook"]})
         d_state = TrainState.create(apply_fn=disc.apply, params=d_params,
                                     tx=make_gan_adam(2e-4))
-        inner = jax.jit(functools.partial(
+        inner = functools.partial(
             vqvae_train_step, generator=gen, discriminator=disc, audio_cfg=a,
-            augment_cfg=aug_cfg, device_warp=True))
+            augment_cfg=aug_cfg, device_warp=True)
 
         def paired(stpair, b, k):
             g, d, m = inner(stpair["g"], stpair["d"], b, k)
             return {"g": g, "d": d}, m
 
-        run("vqvae_gan(b16,8s,warp+peq in-jit)", jax.jit(paired),
+        # donate like train/mains.py does: without aliasing, two copies of
+        # the ~2 GB codec+MPD state coexist and the row OOMs
+        run("vqvae_gan(b16,8s,warp+peq in-jit)",
+            jax.jit(paired, donate_argnums=(0,)),
             {"g": g_state, "d": d_state}, batch, jax.random.key(7),
             audio_s_per_step=B * 8.0,
             note="alternating D/G, Pallas VQ, device NANSY warp + PEQ")
@@ -236,9 +280,14 @@ def main():
                             b["speech_tokens"][:1])
         st = TrainState.create(apply_fn=m.apply, params=p,
                                tx=make_adamw(1e-4, warmup_steps=1))
-        step = jax.jit(lambda s, bb, k: clvp_train_step(s, bb, k, m))
-        run("clvp_train(b24,full-243M)", step, st, b, jax.random.key(1),
-            pairs_per_step=B, note="global-batch InfoNCE, bf16 encoders")
+        # donate (like train/mains.py): the 275 M-param state is ~3.3 GB in
+        # f32 params+Adam; two live copies exhaust HBM
+        step = jax.jit(lambda s, bb, k: clvp_train_step(s, bb, k, m),
+                       donate_argnums=(0,))
+        run("clvp_train(b24,t350+s430,275M)", step, st, b, jax.random.key(1),
+            pairs_per_step=B,
+            note="global-batch InfoNCE, bf16 encoders; full padded context "
+                 "(reference clvp/config.json seq lens)")
 
     print(json.dumps(out, indent=1))
 

@@ -216,6 +216,36 @@ def test_flash_attention_flag_falls_back_on_cpu():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpointing_toggle_keeps_param_tree_and_numbers():
+    """GPTConfig.checkpointing (nn.remat) must neither rename params nor
+    change the forward numbers — a checkpoint written with remat off loads
+    with remat on (GPT2Block names are pinned in GPT2Stack)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, 100, size=(2, 8))),
+        tl=jnp.asarray([8, 6]),
+        mel=jnp.asarray(rng.integers(0, 32, size=(2, 12))),
+        wl=jnp.asarray([12, 10]) * 1024,
+    )
+    base = UnifiedVoice(TINY)
+    ck = UnifiedVoice(dataclasses.replace(TINY, checkpointing=True))
+    p0 = base.init(jax.random.key(0), batch["text"], batch["tl"],
+                   batch["mel"], batch["wl"])
+    p1 = ck.init(jax.random.key(0), batch["text"], batch["tl"],
+                 batch["mel"], batch["wl"])
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    a = base.apply(p0, batch["text"], batch["tl"], batch["mel"], batch["wl"],
+                   return_latent=True)
+    b = ck.apply(p0, batch["text"], batch["tl"], batch["mel"], batch["wl"],
+                 return_latent=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_attn_dropout_split_from_resid_dropout():
     """attn_dropout=0 with dropout>0 keeps residual dropout active but makes
     the attention probabilities deterministic (HF attn_pdrop/resid_pdrop

@@ -101,3 +101,28 @@ def test_ema_advances_once_per_optimizer_update():
                     jax.tree_util.tree_leaves(ref.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_donated_state_with_aliased_ema_params():
+    """train/mains.py donates the state into the jitted step; a caller
+    passing `ema_params=params` must not produce a duplicate-donation
+    error (TrainState.create de-aliases — state.py)."""
+    cfg = GPTConfig(model_dim=32, layers=1, heads=2, max_text_tokens=16,
+                    max_mel_tokens=32, dropout=0.0)
+    model = UnifiedVoice(cfg)
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, 2, 10, 12)
+    params = model.init(jax.random.key(0), batch["text"],
+                        batch["text_lengths"], batch["mel_codes"],
+                        batch["wav_lengths"])
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_adamw(1e-3, warmup_steps=1),
+                              ema_params=params)
+    assert all(
+        a is not b for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                                   jax.tree_util.tree_leaves(state.ema_params)))
+    step = jax.jit(lambda s, b, k: gpt_train_step(s, b, k, model),
+                   donate_argnums=(0,))
+    state, metrics = step(state, batch, jax.random.key(7))
+    state, metrics = step(state, batch, jax.random.key(8))
+    assert np.isfinite(float(metrics["loss"]))

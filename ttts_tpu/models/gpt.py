@@ -226,9 +226,13 @@ class GPT2Stack(nn.Module):
         new_k, new_v = [], []
         for i in range(self.layers):
             layer_cache = (cache.k[i], cache.v[i]) if cache is not None else None
+            # explicit name: keeps the param tree identical whether remat is
+            # on or off (nn.remat renames the auto-scope otherwise, which
+            # would invalidate checkpoints when toggling the flag)
             x, nc = block_cls(self.dim, self.heads, self.dropout, self.dtype,
                               self.attn_dropout, self.flash_causal,
-                              self.fused_decode, self.decode_spmd)(
+                              self.fused_decode, self.decode_spmd,
+                              name=f"GPT2Block_{i}")(
                 x, attn_mask, layer_cache, cache_index, deterministic, causal
             )
             if nc is not None:

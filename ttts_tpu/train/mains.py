@@ -161,12 +161,17 @@ def train_gpt(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None)
             make_adamw(cfg.train.lr, cfg.train.warmup_steps, cfg.train.betas,
                        cfg.train.weight_decay, cfg.train.grad_clip),
             cfg.train.accumulate_num),
-        ema_params=params,
+        ema_params=params,  # de-aliased by TrainState.create (donation)
     )
+    # donate the state: aliases params/opt buffers into the step's outputs,
+    # halving steady-state HBM (the old state is never read again — the
+    # non-finite skip keeps it in-jit, and Orbax async saves copy to host
+    # before returning)
     step = jax.jit(
         functools.partial(gpt_train_step, model=model,
                           text_weight=cfg.train.text_weight,
-                          mel_weight=cfg.train.mel_weight)
+                          mel_weight=cfg.train.mel_weight),
+        donate_argnums=(0,),
     )
     train_steps, save_freq, log_every = _cadence(cfg)
     trainer = Trainer(
@@ -196,7 +201,8 @@ def train_clvp(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = None
         apply_fn=model.apply, params=params,
         tx=with_accumulation(make_adamw(cfg.train.lr, cfg.train.warmup_steps),
                              cfg.train.accumulate_num))
-    step = jax.jit(functools.partial(clvp_train_step, model=model))
+    step = jax.jit(functools.partial(clvp_train_step, model=model),
+                   donate_argnums=(0,))
     train_steps, save_freq, log_every = _cadence(cfg)
     trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
                       logs_folder or cfg.train.logs_folder,
@@ -240,7 +246,8 @@ def train_diffusion(cfg: TTTSConfig, manifest: str, gpt_params,
             diffusion_train_step, model=net, diffuser=diffuser,
             gpt_model=gpt_model, gpt_params=gpt_params,
             unconditioned_percentage=cfg.train.unconditioned_percentage,
-        )
+        ),
+        donate_argnums=(0,),
     )
     train_steps, save_freq, log_every = _cadence(cfg)
     trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
@@ -276,7 +283,8 @@ def train_classifier(cfg: TTTSConfig, clean_list: str, noise_list: str,
         tx=make_adamw(3e-4, warmup_steps=0, betas=(0.9, 0.9999),
                       weight_decay=0.01, grad_clip=1.0),
     )
-    step = jax.jit(functools.partial(classifier_train_step, model=model))
+    step = jax.jit(functools.partial(classifier_train_step, model=model),
+                   donate_argnums=(0,))
     trainer = Trainer(lambda s, b, k: step(s, b, k), state, data,
                       logs_folder or cfg.train.logs_folder,
                       cfg.train.train_steps, cfg.train.save_freq,
@@ -389,7 +397,11 @@ def train_vqvae(cfg: TTTSConfig, manifest: str, logs_folder: Optional[str] = Non
                           audio_cfg=a, c_mel=cfg.train.c_mel, c_kl=cfg.train.c_kl,
                           augment_cfg=aug_cfg,
                           device_warp=cfg.train.aug_warp
-                          and cfg.train.aug_warp_device)
+                          and cfg.train.aug_warp_device),
+        # donate BOTH states: the codec + MPD params/Adam moments are ~2 GB
+        # in f32; without aliasing the alternating step holds two copies and
+        # the documented batch-16 × 8 s config can exhaust HBM
+        donate_argnums=(0, 1),
     )
 
     def paired_step(state, batch, key):

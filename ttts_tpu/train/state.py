@@ -24,6 +24,19 @@ class TrainState(train_state.TrainState):
     extra_vars: Any = None
     ema_params: Any = None
 
+    @classmethod
+    def create(cls, *, params, ema_params=None, **kwargs):
+        # The state is donated into jitted train steps (train/mains.py);
+        # a buffer appearing twice in a donated pytree is an XLA error
+        # ("Attempt to donate the same buffer twice"). Callers naturally
+        # write `ema_params=params` — de-alias here.
+        if ema_params is not None:
+            p_ids = {id(l) for l in jax.tree_util.tree_leaves(params)}
+            if any(id(l) in p_ids
+                   for l in jax.tree_util.tree_leaves(ema_params)):
+                ema_params = jax.tree_util.tree_map(jnp.copy, ema_params)
+        return super().create(params=params, ema_params=ema_params, **kwargs)
+
 
 def warmup_constant_schedule(lr: float, warmup_steps: int) -> optax.Schedule:
     """min(1, step/warmup) * lr (gpt/train.py warmup:36)."""
